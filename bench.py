@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...extras}
+
+Headline = the ER pipeline stages (records, blocking+pairs, feature+score,
+connected components) over deterministic synthetic pages scaled to the sf,
+plus representative operator queries over the driver testdata. The scoring
+stage also reports pairs/sec — the BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_of(sf_dir)
+    n_pages = max(1000, int(1_000_000 * sf))  # sf0.1 -> 100k pages
+
+    from nlp_entity_linking_spark.conf import get_spark
+    from nlp_entity_linking_spark.functions import similarity as S
+    from nlp_entity_linking_spark.plans import pipeline as P
+    from nlp_entity_linking_spark.sources.synthetic import gen_pages
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    cfg = P.PipelineConfig()
+    pages, _gold = gen_pages(spark, n_pages)
+
+    records = timed(
+        "er_records",
+        lambda: P.build_records(pages, cfg).persist(),
+    )
+    n_records = records.count()
+
+    pairs = timed(
+        "er_blocking_pairs",
+        lambda: (lambda d: (d.count(), d))(P.build_candidate_pairs(records, cfg).persist())[1],
+    )
+    n_pairs = pairs.count()
+
+    feats = P.build_features(records, pairs, cfg)
+    t0 = time.perf_counter()
+    scored = S.score_pairs(feats, cfg.model).persist()
+    n_scored = scored.count()
+    dt = time.perf_counter() - t0
+    timings["er_feature_score"] = round(dt, 3)
+    extras["pairs_scored"] = n_scored
+    extras["pairs_per_sec"] = round(n_scored / dt, 1) if dt > 0 else 0.0
+
+    edges = scored.filter(F.col("score") >= cfg.score_threshold)
+    clusters = timed(
+        "er_connected_components",
+        lambda: (lambda d: (d.count(), d))(P.cluster(records, edges, cfg).persist())[1],
+    )
+    extras["n_records"] = n_records
+    extras["n_candidate_pairs"] = n_pairs
+    extras["n_clusters"] = clusters.select("cluster_id").distinct().count()
+
+    # representative operator queries over the driver testdata
+    qs = entry_mod.queries()
+    for name in ("agg_groupby", "join_agg", "window_topk", "snb_pairs_docs"):
+        timed(f"td_{name}", lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "er_pipeline_and_operators_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "master": f"local[{cpus}]",
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Surface-form normalization, tokenization and shingling (SURVEY.md C2-C4).
+
+Pure built-in column expressions — JVM-side, whole-stage-codegen'd, zero
+Python in the hot path. These are the canonical normalization semantics the
+whole engine keys on (blocking keys, token features, dedup hashes), so they
+live in one place and are reused by the pipeline, the synthetic-fixture
+generator and the oracle queries (which mirror them in ANSI SQL for DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Diacritic fold table for `translate` (covers the perturbations the
+# synthetic generator plants plus the common Latin-1 range).
+_DIACRITICS_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿñçšžÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÑÇŠŽ"
+_DIACRITICS_DST = "aaaaaaeeeeiiiiooooouuuuyyncszAAAAAAEEEEIIIIOOOOOUUUUYNCSZ"
+
+
+def fold_diacritics(col: Column | str) -> Column:
+    return F.translate(F.col(col) if isinstance(col, str) else col,
+                       _DIACRITICS_SRC, _DIACRITICS_DST)
+
+
+def normalize(col: Column | str) -> Column:
+    """Canonical surface-form normalization (SURVEY.md C2).
+
+    lower -> diacritic fold -> non-alnum to space -> collapse spaces -> trim.
+    ANSI-SQL mirror (DuckDB oracle):
+        trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ' ', 'g'),
+                            ' +', ' ', 'g'))
+    (diacritic fold elided in oracles that feed ASCII-only inputs).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(fold_diacritics(c))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokenize(norm_col: Column | str) -> Column:
+    """Whitespace tokens of an already-normalized string (SURVEY.md C3)."""
+    c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    return F.array_remove(F.split(c, " "), "")
+
+
+def token_set(tokens_col: Column | str) -> Column:
+    """Sorted distinct tokens — the canonical token-set representation."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.array_sort(F.array_distinct(c))
+
+
+def char_shingles(norm_col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized string (SURVEY.md C4).
+
+    Built-in only: sequence over start offsets + substring inside a lambda —
+    stays in whole-stage codegen, no Python. Distinct because minhash is a
+    set operation. Strings shorter than n yield the string itself (padded
+    semantics keep tiny surfaces block-able).
+    """
+    c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    short = F.array(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(F.when(F.length(c) < n, short).otherwise(grams))
+
+
+def word_ngrams(tokens_col: Column | str, n: int = 2) -> Column:
+    """Word n-grams over a token array (dedup / fingerprint features)."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.when(F.size(c) < n, F.array(F.concat_ws(" ", c))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(c) - n),
+            lambda i: F.concat_ws(" ", F.slice(c, i + 1, n)),
+        )
+    )

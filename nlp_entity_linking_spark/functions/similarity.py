@@ -1,0 +1,284 @@
+"""Pairwise similarity features + calibrated logistic score (SURVEY.md §2 I).
+
+Division of labor (north rule: features "scored inside pandas UDF batches",
+input_hint: "no per-row Python"):
+
+* token-set Levenshtein — pure built-in column expression (JVM codegen):
+  levenshtein() is a Spark built-in, so this never leaves the JVM.
+* TF-IDF cosine — sparse join formulation: exact, fully distributed, zero
+  UDFs (explode tokens -> idf weights -> pair·token equi-joins -> sum of
+  weight products). This is the representation that scales: no dense
+  vectors, no vocabulary broadcast into Python.
+* Jaro-Winkler + the fused logistic score — ONE Arrow round-trip per batch
+  via mapInPandas (SURVEY.md I7): jw has no built-in, so it rides the same
+  batch pass that applies the calibrated sigmoid.
+* calibration — Platt-style logistic fit on the labeled pairs, driver-side
+  numpy on a collected sample (small by construction), coefficients become
+  literals in the scoring expression.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import token_set
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (batch python; called only from inside Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, max_l: int = 4) -> float:
+    """Standard Jaro-Winkler similarity (Winkler boost above 0.7).
+
+    Reference implementation for the batch scorer and the property tests —
+    public-knowledge algorithm (Winkler 1990); no external library exists in
+    this environment (jellyfish/rapidfuzz absent), so it is hand-rolled.
+    """
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+    if jaro < 0.7:
+        return jaro
+    l = 0
+    for a, b in zip(s1[:max_l], s2[:max_l]):
+        if a != b:
+            break
+        l += 1
+    return jaro + l * p * (1.0 - jaro)
+
+
+def _jw_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    out = np.empty(len(a), dtype=np.float64)
+    cache: dict[tuple, float] = {}
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for i in range(len(out)):
+        key = (av[i], bv[i])
+        v = cache.get(key)
+        if v is None:
+            x, y = av[i] or "", bv[i] or ""
+            v = jaro_winkler_py(x, y)
+            cache[key] = v
+        out[i] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Token-set Levenshtein — pure built-in path (SURVEY.md I2)
+# ---------------------------------------------------------------------------
+
+
+def token_set_lev(tokens_a: Column | str, tokens_b: Column | str) -> Column:
+    """1 - lev(joined sorted-unique tokens)/max_len, in [0, 1]; JVM-only."""
+    a = F.concat_ws(" ", token_set(tokens_a))
+    b = F.concat_ws(" ", token_set(tokens_b))
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / denom
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine — sparse, distributed, UDF-free (SURVEY.md I3/I4)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_weights(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """records(record_id, tokens) -> (record_id, token, w) with L2-normalized
+    smooth tf-idf weights: idf = ln((N+1)/(df+1)) — ubiquitous tokens
+    (df≈N) get ~0 weight, which matters for short contexts.
+
+    Shuffle anatomy: explode -> groupBy(record_id, token) [tf] ->
+    groupBy(token) [df, map-side combined] -> broadcast-join idf back ->
+    window-free norm via groupBy(record_id) + rejoin.
+    """
+    n_docs = records.count()
+    tf = (
+        records.select("record_id", F.explode(tokens_col).alias("token"))
+        .groupBy("record_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_.select(
+        "token",
+        F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf), "token").select(
+        "record_id", "token", (F.col("tf") * F.col("idf")).alias("w_raw")
+    )
+    norms = w.groupBy("record_id").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("_norm")
+    )
+    return w.join(norms, "record_id").select(
+        "record_id", "token", (F.col("w_raw") / F.col("_norm")).alias("w")
+    )
+
+
+def pair_cosine(pairs: DataFrame, weights: DataFrame) -> DataFrame:
+    """pairs(id_a, id_b, ...) + weights(record_id, token, w) ->
+    pairs + cos column (0.0 when no shared token).
+
+    Exact sparse dot product of L2-normalized vectors: join a-side weights,
+    then b-side on (id_b, token) — only shared tokens survive the inner
+    join — then sum per pair.
+    """
+    wa = weights.select(
+        F.col("record_id").alias("id_a"), "token", F.col("w").alias("wa")
+    )
+    wb = weights.select(
+        F.col("record_id").alias("id_b"), "token", F.col("w").alias("wb")
+    )
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(wa, "id_a")
+        .join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
+    )
+    return pairs.join(dots, ["id_a", "id_b"], "left").fillna({"cos": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# Calibrated logistic score (SURVEY.md I6) + fused batch scorer (I7)
+# ---------------------------------------------------------------------------
+
+FEATURES = ("jw", "tsl", "cos")
+
+
+@dataclass(frozen=True)
+class ScoreModel:
+    """Versioned logistic coefficients; defaults hand-set, overridden by
+    `fit_calibration` on the labeled pairs."""
+
+    # defaults = IRLS fit on the t2-scale labeled fixture (frozen); a run
+    # with labeled pairs re-fits via `fit_calibration`.
+    weights: tuple[float, float, float] = (0.1, 4.7, 15.7)
+    bias: float = -11.0
+    version: str = "default-v1"
+
+    def as_dict(self) -> dict:
+        return {"weights": list(self.weights), "bias": self.bias,
+                "version": self.version}
+
+
+def fit_calibration(
+    labeled_features: pd.DataFrame,
+    iters: int = 25,
+    ridge: float = 1e-4,
+) -> tuple[ScoreModel, float]:
+    """Platt-style logistic regression on (jw, tsl, cos, is_match) by
+    Newton/IRLS — deterministic (zero init, fixed iterations, tiny ridge for
+    conditioning). Driver-side numpy: the labeled sample is small by
+    construction; fitted coefficients ship to executors as literals.
+
+    Returns (model, threshold) where threshold maximizes pairwise F1 on the
+    labeled sample (the calibrated decision point the north rule's
+    "calibrated logistic match score" thresholds on).
+    """
+    x = labeled_features[list(FEATURES)].to_numpy(dtype=np.float64)
+    y = labeled_features["is_match"].to_numpy(dtype=np.float64)
+    n = len(y)
+    if n == 0:
+        return ScoreModel(), 0.5
+    xb = np.hstack([x, np.ones((n, 1))])
+    w = np.zeros(4)
+    for _ in range(iters):
+        z = xb @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        g = xb.T @ (p - y) / n + ridge * w
+        r = np.maximum(p * (1 - p), 1e-9)
+        h = (xb * r[:, None]).T @ xb / n + ridge * np.eye(4)
+        w -= np.linalg.solve(h, g)
+    model = ScoreModel(tuple(float(v) for v in w[:3]), float(w[3]), "fitted-v1")
+    # threshold sweep: maximize F1 over the labeled scores
+    z = xb @ w
+    p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+    best_t, best_f1 = 0.5, -1.0
+    n_pos = y.sum()
+    for t in np.arange(0.05, 0.96, 0.01):
+        pred = p >= t
+        tp = float((pred & (y == 1)).sum())
+        fp = float((pred & (y == 0)).sum())
+        fn = float(n_pos - tp)
+        f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+        if f1 > best_f1:
+            best_f1, best_t = f1, float(t)
+    return model, best_t
+
+
+def score_pairs(
+    pairs: DataFrame,
+    model: ScoreModel,
+    surface_a: str = "norm_a",
+    surface_b: str = "norm_b",
+) -> DataFrame:
+    """Fused feature+score batch pass (SURVEY.md I7).
+
+    Input must already carry `tsl` and `cos` (JVM-computed). One
+    mapInPandas pass per partition computes Jaro-Winkler and the calibrated
+    sigmoid — a single Arrow round-trip; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    w1, w2, w3 = model.weights
+    b0 = model.bias
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in pairs.schema.fields)
+    out_schema = f"{in_fields}, jw double, score double"
+
+    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jw = _jw_batch(pdf[surface_a], pdf[surface_b])
+            z = w1 * jw + w2 * pdf["tsl"].to_numpy() + w3 * pdf["cos"].to_numpy() + b0
+            pdf = pdf.assign(jw=jw, score=1.0 / (1.0 + np.exp(-z)))
+            yield pdf
+
+    return pairs.mapInPandas(scorer, schema=out_schema)
+
+
+def logistic_expr(model: ScoreModel) -> Column:
+    """Pure-JVM sigmoid over existing jw/tsl/cos columns — used when jw was
+    already materialized (e.g. re-scoring with new calibration)."""
+    w1, w2, w3 = model.weights
+    z = (
+        F.lit(w1) * F.col("jw")
+        + F.lit(w2) * F.col("tsl")
+        + F.lit(w3) * F.col("cos")
+        + F.lit(model.bias)
+    )
+    return 1.0 / (1.0 + F.exp(-z))

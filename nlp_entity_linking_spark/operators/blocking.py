@@ -1,0 +1,262 @@
+"""Blocking / candidate-pair generation (SURVEY.md §2 D1-D7).
+
+Two independent blockers per the north rule ("LSH/minhash + sorted-
+neighborhood blocking keyed on normalized surface forms"), merged and
+deduped, with explicit hot-key salting ahead of AQE's skew-join safety net.
+
+Scale design notes (the part that must survive 100 TB):
+
+* MinHash signatures are computed ROW-LOCALLY with higher-order functions
+  (`transform` + `xxhash64` inside the lambda) — no explode, no shuffle, no
+  Python. k hash functions come from the seeded family h_i(x) =
+  xxhash64(i, x, seed); the signature never leaves whole-stage codegen.
+* Band keys are 64-bit hashes of signature slices — compact shuffle keys.
+* The block->pairs self-join is the only quadratic surface; it is bounded by
+  (a) band width (probability of co-blocking decays with dissimilarity),
+  (b) explicit salting of hot keys (Zipfian surface forms), which shards a
+  block of size s into ceil(s/cap) sub-blocks, and (c) AQE skew-join.
+* Sorted-neighborhood avoids the classic single-partition global-window
+  straggler: range repartition -> per-partition ranks -> small driver-side
+  offset table (n_partitions rows, not data rows) -> global rank -> bucketed
+  equi-join (theta join turned into an equi join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 64  # minhash permutations
+DEFAULT_BANDS = 16  # 16 bands x 4 rows
+DEFAULT_SALT_CAP = 64  # max records per (possibly salted) block
+
+
+def minhash_signature(
+    shingles_col, k: int = DEFAULT_K, seed: int = 42
+):
+    """k-permutation minhash signature as array<long> — row-local, JVM-only.
+
+    sig[i] = min over shingles of xxhash64(i, shingle, seed).
+    """
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(i, s, F.lit(seed)))
+        ),
+    )
+
+
+def band_keys(sig_col, bands: int = DEFAULT_BANDS, k: int = DEFAULT_K):
+    """LSH banding: array of `bands` compact string block keys.
+
+    Key = 'mh:<band>:<xxhash64 of the signature slice>' — hashing the slice
+    keeps shuffle keys small regardless of band width.
+    """
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    r = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.format_string(
+            "mh:%d:%d", b, F.xxhash64(b, F.slice(sig, b * r + 1, r))
+        ),
+    )
+
+
+def lsh_blocks(
+    records: DataFrame,
+    shingles_col: str = "shingles",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+) -> DataFrame:
+    """records(record_id, <shingles>) -> blocks(record_id, block_key)."""
+    sig = minhash_signature(shingles_col, k=k, seed=seed)
+    return (
+        records.withColumn("_sig", sig)
+        .select("record_id", F.explode(band_keys("_sig", bands, k)).alias("block_key"))
+    )
+
+
+def salt_blocks(
+    blocks: DataFrame, cap: int = DEFAULT_SALT_CAP, seed: int = 42
+) -> DataFrame:
+    """Explicit hot-key salting (SURVEY.md D4; north rule mandates it).
+
+    Blocks larger than `cap` records are sharded into ceil(size/cap)
+    sub-blocks keyed by a deterministic hash of record_id. Pairs across
+    shards of one hot key are deliberately dropped — the documented recall
+    cost of bounding quadratic blowup; F1 is evaluated "at the shared
+    blocking key", i.e. on the salted keys (BASELINE.json metric).
+
+    The hot-key table is tiny (keys with >cap records) and is broadcast.
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+    hot = sizes.filter(F.col("_n") > cap).select(
+        "block_key", F.ceil(F.col("_n") / cap).cast("int").alias("_shards")
+    )
+    out = blocks.join(F.broadcast(hot), "block_key", "left")
+    salted = F.when(
+        F.col("_shards").isNotNull(),
+        F.format_string(
+            "%s#%d",
+            F.col("block_key"),
+            F.pmod(F.xxhash64(F.col("record_id"), F.lit(seed)), F.col("_shards")),
+        ),
+    ).otherwise(F.col("block_key"))
+    return out.select(F.col("record_id"), salted.alias("block_key"))
+
+
+def block_stats(blocks: DataFrame) -> DataFrame:
+    """Block-size diagnostics (SURVEY.md D5)."""
+    return (
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("n_records"))
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.max("n_records").alias("max_block"),
+            F.avg("n_records").alias("avg_block"),
+            F.sum(
+                F.col("n_records") * (F.col("n_records") - 1) / 2
+            ).cast("long").alias("candidate_pairs"),
+        )
+    )
+
+
+def pairs_from_blocks(blocks: DataFrame, min_block: int = 2) -> DataFrame:
+    """Within-block self-join -> candidate pairs (id_a < id_b), one row per
+    pair with the (deterministic min) shared block key.
+
+    Shuffle anatomy: one hash exchange on block_key for the self-join (AQE
+    splits residual skew), then one exchange on (id_a, id_b) for the dedup.
+    """
+    b = blocks.select("block_key", "record_id")
+    # prune size-1 blocks before the join: they produce nothing but still
+    # shuffle. (cheap pre-agg, map-side combined)
+    sized = b.groupBy("block_key").agg(
+        F.collect_list("record_id").alias("_ids"), F.count("*").alias("_n")
+    )
+    # collect_list per block is bounded by the salt cap -> array stays small;
+    # generating pairs from the array avoids a second shuffled self-join.
+    pairs = (
+        sized.filter(F.col("_n") >= min_block)
+        .select(
+            F.col("block_key"),
+            F.explode(_pairs_of_array(F.array_sort("_ids"))).alias("p"),
+        )
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("block_key"),
+        )
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
+
+
+def _pairs_of_array(ids):
+    """array<long> (sorted) -> array<struct<id_a,id_b>> of all C(n,2) pairs,
+    built with flatten/transform — stays in codegen."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+
+
+def snb_global_rank(
+    records: DataFrame,
+    key_col: str = "norm",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense rank under total order (key_col, record_id) WITHOUT the
+    single-partition-window straggler (SURVEY.md D3, §4.2).
+
+    range-repartition -> per-partition row_number -> driver-side offsets
+    (n_partitions rows only) -> global rank. The rank is a pure function of
+    the total order, so it is independent of where range boundaries land.
+    """
+    spark = records.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    r = (
+        records.select("record_id", key_col)
+        .repartitionByRange(n_partitions, F.col(key_col), F.col("record_id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col(key_col), F.col("record_id"))
+    r = r.withColumn("_local", F.row_number().over(w))
+    # two actions read this plan (offset count + final rank): persist once.
+    r = r.persist()
+    counts = r.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    return r.select(
+        "record_id",
+        key_col,
+        (F.col("_local") - 1 + off[F.col("_pid")]).alias("rank"),
+    )
+
+
+def snb_pairs(
+    records: DataFrame,
+    key_col: str = "norm",
+    window: int = 3,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood pairs: all (a, b) with 0 < rank_b - rank_a <= w
+    under the (key_col, record_id) total order.
+
+    The theta join |rank_a - rank_b| <= w becomes an equi join on
+    bucket = floor(rank / w): each left row probes its own bucket and the
+    next one — 2x fan-out instead of a cross join.
+    """
+    ranked = snb_global_rank(records, key_col, n_partitions)
+    a = ranked.select(
+        F.col("record_id").alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rank") / window),
+                F.floor(F.col("rank") / window) + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ranked.select(
+        F.col("record_id").alias("id_b"),
+        F.col("rank").alias("rank_b"),
+        F.floor(F.col("rank") / window).alias("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") <= window)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.format_string("snb:%d", F.floor(F.col("rank_a") / window)).alias(
+                "block_key"
+            ),
+        )
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
+
+
+def merge_pairs(*pair_dfs: DataFrame) -> DataFrame:
+    """Union candidate pairs from multiple blockers, one row per pair
+    (SURVEY.md D7). Deterministic representative block_key = min."""
+    out = pair_dfs[0]
+    for df in pair_dfs[1:]:
+        out = out.unionByName(df)
+    return out.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))

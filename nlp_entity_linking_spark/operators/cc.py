@@ -1,0 +1,105 @@
+"""Connected components via alternating large-star / small-star iterations
+(SURVEY.md §2 J; algorithm: Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public knowledge; converges in O(log n)
+rounds vs O(diameter) for naive label propagation).
+
+Pure DataFrame ops (groupBy min + self-joins) — no GraphX/GraphFrames (no
+PySpark GraphX API; GraphFrames not installed). Each iteration is eagerly
+checkpointed: (a) truncates the logical plan, which otherwise doubles per
+iteration and stalls Catalyst (SURVEY.md §4.2); (b) with a durable
+checkpoint/catalog dir, a crashed run resumes from the last finished
+iteration (north rule's checkpointed-iterations requirement — the pipeline
+layer additionally commits iterations through the catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (u=min, v=max), u != v, distinct."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges u > v; for each u connect all smaller neighbors and u
+    itself to m = min(N_smaller(u))."""
+    e = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfe = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.unionByName(selfe)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint: bool = True,
+    on_iteration=None,
+) -> DataFrame:
+    """edges(u: long, v: long) -> labels(record_id: long, cluster_id: long)
+    for every vertex appearing in `edges` (cluster_id = min id in component).
+
+    `on_iteration(i, edges_df)` — optional hook the pipeline uses to commit
+    per-iteration state to the catalog (resume support).
+    """
+    cur = _canon(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
+    if checkpoint:
+        cur = cur.checkpoint(eager=True)
+    for i in range(max_iter):
+        nxt = _canon(_small_star(_large_star(cur)))
+        if checkpoint:
+            nxt = nxt.checkpoint(eager=True)
+        if on_iteration is not None:
+            nxt = on_iteration(i, nxt) or nxt
+        # converged when the canonical edge set is unchanged (symmetric diff
+        # empty); checking one direction + equal counts is sufficient and
+        # cheaper: |A|=|B| and A⊆B ⇒ A=B.
+        same_count = nxt.count() == cur.count()
+        if same_count and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
+    # converged state is a collection of stars; in canonical (min, max) form
+    # each edge is (root, member) with root = component min.
+    members = cur.select(F.col("v").alias("record_id"), F.col("u").alias("cluster_id"))
+    roots = cur.select(F.col("u").alias("record_id"), F.col("u").alias("cluster_id"))
+    return members.unionByName(roots).distinct()
+
+
+def attach_singletons(labels: DataFrame, records: DataFrame) -> DataFrame:
+    """Records with no match edge form their own cluster (SURVEY.md J7)."""
+    return (
+        records.select("record_id")
+        .join(labels, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )

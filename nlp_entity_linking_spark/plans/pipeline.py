@@ -1,0 +1,183 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §3.1 stage graph).
+
+ingest -> extract/records -> block (minhash-LSH ∥ sorted-neighborhood, hot
+keys salted) -> candidate pairs -> JVM features (token-set Levenshtein,
+TF-IDF cosine) -> fused pandas-UDF batch scoring (Jaro-Winkler + calibrated
+logistic) -> threshold -> large-star/small-star connected components ->
+clusters (+ singletons) -> pairwise F1 vs labeled pairs.
+
+This module is the *logic*; plans/run.py adds the catalog (atomic commits,
+lineage, resume) around each stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..operators import blocking as B
+from ..operators import cc as CC
+from ..operators import evaluate as E
+from ..operators import records as R
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    minhash_k: int = 64
+    bands: int = 16
+    shingle_n: int = 3
+    salt_cap: int = 64
+    snb_window: int = 3
+    # default = cluster-level-F1-optimal on the frozen fixtures; a labeled
+    # run re-selects via `select_threshold` (precision-first: CC amplifies
+    # recall transitively).
+    score_threshold: float = 0.8
+    use_snb: bool = True
+    model: S.ScoreModel = field(default_factory=S.ScoreModel)
+    max_cc_iter: int = 25
+
+
+def build_records(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return R.extract_records(pages, shingle_n=cfg.shingle_n)
+
+
+def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    blocks = B.lsh_blocks(records, "shingles", k=cfg.minhash_k, bands=cfg.bands)
+    salted = B.salt_blocks(blocks, cap=cfg.salt_cap)
+    lsh_pairs = B.pairs_from_blocks(salted)
+    if not cfg.use_snb:
+        return lsh_pairs
+    snb = B.snb_pairs(records, "norm", window=cfg.snb_window)
+    return B.merge_pairs(lsh_pairs, snb)
+
+
+def build_features(
+    records: DataFrame, pairs: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """pairs + (norm_a, norm_b, tsl, cos) — everything here is JVM-side.
+
+    tsl compares the normalized surface token sets; cos compares the page
+    *context* (full extracted text) under TF-IDF — the disambiguator for
+    near-identical names.
+    """
+    thin = records.select("record_id", "norm", "tokens")
+    a = thin.select(
+        F.col("record_id").alias("id_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("tokens").alias("tokens_a"),
+    )
+    b = thin.select(
+        F.col("record_id").alias("id_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("tokens").alias("tokens_b"),
+    )
+    feat = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("tsl", S.token_set_lev("tokens_a", "tokens_b"))
+    )
+    weights = S.tfidf_weights(records, "ctx_tokens")
+    feat = S.pair_cosine(feat, weights)
+    return feat.select(
+        "id_a", "id_b", "block_key", "norm_a", "norm_b", "tsl", "cos"
+    )
+
+
+def calibrate(
+    features: DataFrame, labeled_pairs: DataFrame, cfg: PipelineConfig
+) -> "PipelineConfig":
+    """Platt-style calibration (SURVEY.md I6): score the labeled subset once
+    with the default model to materialize jw, fit logistic coefficients +
+    max-F1 threshold driver-side, return an updated config."""
+    import dataclasses
+
+    lf = features.join(
+        labeled_pairs.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
+    )
+    scored = S.score_pairs(lf, cfg.model)
+    sample = scored.select("jw", "tsl", "cos", "is_match").toPandas()
+    model, threshold = S.fit_calibration(sample)
+    return dataclasses.replace(cfg, model=model, score_threshold=threshold)
+
+
+def score_edges(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Fused batch scoring -> thresholded undirected match edges (D4)."""
+    scored = S.score_pairs(features, cfg.model)
+    return scored.select(
+        "id_a",
+        "id_b",
+        "block_key",
+        "score",
+        F.struct("jw", "tsl", "cos").alias("features"),
+    ).filter(F.col("score") >= cfg.score_threshold)
+
+
+def cluster(
+    records: DataFrame, edges: DataFrame, cfg: PipelineConfig, on_iteration=None
+) -> DataFrame:
+    labels = CC.connected_components(
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+        max_iter=cfg.max_cc_iter,
+        on_iteration=on_iteration,
+    )
+    return CC.attach_singletons(labels, records)
+
+
+THRESHOLD_CANDIDATES = (0.5, 0.65, 0.8, 0.9)
+
+
+def select_threshold(
+    scored: DataFrame,
+    records: DataFrame,
+    labeled_pairs: DataFrame,
+    cfg: PipelineConfig,
+    candidates: tuple[float, ...] = THRESHOLD_CANDIDATES,
+) -> tuple[float, dict]:
+    """Pick the edge threshold that maximizes CLUSTER-level F1 on the
+    labeled pairs (not pair-level: connected components amplify recall
+    transitively, so the operating point should be precision-first — a
+    pair-level sweep systematically under-thresholds).
+
+    `scored` must be persisted by the caller (it is re-read per candidate).
+    """
+    best = (0.5, {"f1": -1.0})
+    for t in candidates:
+        edges = scored.filter(F.col("score") >= t).select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        )
+        labels = CC.connected_components(edges, max_iter=cfg.max_cc_iter)
+        clusters = CC.attach_singletons(labels, records)
+        m = E.f1_metrics(labeled_pairs, clusters)
+        if m["f1"] > best[1]["f1"]:
+            best = (t, m)
+    return best
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Run every stage lazily; returns the named stage DataFrames."""
+    cfg = cfg or PipelineConfig()
+    records = build_records(pages, cfg).persist()
+    pairs = build_candidate_pairs(records, cfg)
+    features = build_features(records, pairs, cfg)
+    edges = score_edges(features, cfg)
+    clusters = cluster(records, edges, cfg)
+    return {
+        "records": records,
+        "candidate_pairs": pairs,
+        "features": features,
+        "match_edges": edges,
+        "clusters": clusters,
+    }
+
+
+def evaluate(
+    clusters: DataFrame, labeled_pairs: DataFrame
+) -> dict:
+    return E.f1_metrics(labeled_pairs, clusters)

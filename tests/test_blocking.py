@@ -1,0 +1,81 @@
+"""D1-D7: minhash, LSH bands, salting, SNB, pair generation."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from nlp_entity_linking_spark.functions.normalize import char_shingles, normalize
+from nlp_entity_linking_spark.operators import blocking as B
+
+
+def _records(spark, names):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "record_id long, surface string"
+    )
+    return df.withColumn("norm", normalize("surface")).withColumn(
+        "shingles", char_shingles("norm")
+    )
+
+
+def test_minhash_deterministic_and_similarity_monotone(spark):
+    r = _records(spark, ["acme corporation", "acme corporation", "acme corp", "zzz totally other"])
+    sig = r.select("record_id", B.minhash_signature("shingles", k=64).alias("sig")).collect()
+    sigs = {row.record_id: row.sig for row in sig}
+    assert sigs[0] == sigs[1]  # identical inputs -> identical signatures
+    sim_close = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 64
+    sim_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 64
+    assert sim_close > sim_far
+    assert sim_close > 0.4
+
+
+def test_lsh_blocks_recall_on_duplicates(spark):
+    r = _records(spark, ["jane doe consulting", "jane doe consulting!", "jane d0e consulting", "completely different org"])
+    blocks = B.lsh_blocks(r)
+    pairs = B.pairs_from_blocks(blocks)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_salting_caps_blocks(spark):
+    rows = [(i, "hot") for i in range(200)] + [(i + 200, f"cold{i}") for i in range(5)]
+    blocks = spark.createDataFrame(rows, "record_id long, block_key string")
+    salted = B.salt_blocks(blocks, cap=50)
+    sizes = salted.groupBy("block_key").count().collect()
+    hot_shards = [r for r in sizes if r.block_key.startswith("hot#")]
+    assert len(hot_shards) == 4  # ceil(200/50)
+    assert all(r["count"] < 100 for r in hot_shards)
+    cold = [r for r in sizes if r.block_key.startswith("cold")]
+    assert len(cold) == 5 and all(r["count"] == 1 for r in cold)
+
+
+def test_pairs_from_blocks_oracle(spark):
+    rows = [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "z")]
+    blocks = spark.createDataFrame(rows, "record_id long, block_key string")
+    got = {(p.id_a, p.id_b) for p in B.pairs_from_blocks(blocks).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_snb_pairs_matches_naive_window(spark):
+    names = [f"name {chr(97 + i % 23)}{i:03d}" for i in range(97)]
+    r = _records(spark, names)
+    w = 3
+    got = {(p.id_a, p.id_b) for p in B.snb_pairs(r, "norm", window=w, n_partitions=5).collect()}
+    # naive oracle: global sort, all pairs within w positions
+    order = [row.record_id for row in r.orderBy("norm", "record_id").collect()]
+    expect = set()
+    for i, j in itertools.combinations(range(len(order)), 2):
+        if j - i <= w:
+            a, b = order[i], order[j]
+            expect.add((min(a, b), max(a, b)))
+    assert got == expect
+
+
+def test_snb_global_rank_is_total_order(spark):
+    r = _records(spark, [f"s{i:04d}" for i in range(200)])
+    ranked = B.snb_global_rank(r, "norm", n_partitions=7).collect()
+    ranks = sorted((row.rank, row.norm) for row in ranked)
+    assert [x[0] for x in ranks] == list(range(200))
+    assert [x[1] for x in ranks] == sorted(x[1] for x in ranks)

@@ -1,0 +1,71 @@
+"""J1-J7: large-star/small-star connected components vs union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from nlp_entity_linking_spark.operators.cc import attach_singletons, connected_components
+
+
+def _uf_oracle(edges):
+    nodes = {x for e in edges for x in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randint(10, 300)
+        nodes = list(range(-n, n, 2))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [(u, v) for u, v in edges if u != v] or [(0, 2)]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.record_id: r.cluster_id for r in connected_components(df).collect()}
+        assert got == _uf_oracle(edges)
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    chain = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(chain, "u long, v long")
+    labels = connected_components(df, max_iter=12)  # would fail if O(diameter)
+    rows = labels.collect()
+    assert len(rows) == 501
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_attach_singletons(spark):
+    labels = spark.createDataFrame([(1, 0), (0, 0)], "record_id long, cluster_id long")
+    records = spark.createDataFrame([(0,), (1,), (9,)], "record_id long")
+    got = {
+        r.record_id: r.cluster_id
+        for r in attach_singletons(labels, records).collect()
+    }
+    assert got == {0: 0, 1: 0, 9: 9}
+
+
+def test_cc_output_is_partition(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = connected_components(df).collect()
+    seen = {r.record_id for r in rows}
+    assert len(seen) == len(rows)  # each record labeled exactly once
+    label = {r.record_id: r.cluster_id for r in rows}
+    for u, v in edges:  # every edge intra-cluster
+        assert label[u] == label[v]

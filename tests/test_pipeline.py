@@ -1,0 +1,47 @@
+"""End-to-end golden test: planted duplicates -> clusters -> F1 gate
+(SURVEY.md §5.3) + determinism of the synthetic fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlp_entity_linking_spark.functions import similarity as S
+from nlp_entity_linking_spark.operators.evaluate import f1_metrics, gen_labeled_pairs
+from nlp_entity_linking_spark.plans import pipeline as P
+from nlp_entity_linking_spark.sources.synthetic import gen_pages
+
+
+def test_generator_deterministic(spark):
+    a, _ = gen_pages(spark, 400)
+    b, _ = gen_pages(spark, 400)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pages_schema(spark):
+    pages, gold = gen_pages(spark, 100)
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    kinds = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert kinds["html"] == "binary" and kinds["warc_ts"] == "timestamp"
+    assert gold.count() == 100
+
+
+def test_end_to_end_f1(spark):
+    pages, gold = gen_pages(spark, 700)
+    cfg = P.PipelineConfig()
+    records = P.build_records(pages, cfg).persist()
+    pairs = P.build_candidate_pairs(records, cfg).persist()
+    features = P.build_features(records, pairs, cfg).persist()
+    rg = records.join(gold, "url").select("record_id", "entity_id")
+    labeled = gen_labeled_pairs(pairs, rg).persist()
+    cfg = P.calibrate(features, labeled, cfg)
+    scored = S.score_pairs(features, cfg.model).persist()
+    scored.count()
+    thr, metrics = P.select_threshold(scored, records, labeled, cfg)
+    assert metrics["f1"] >= 0.97, metrics
+    # cluster output is a valid partition of the records
+    edges = scored.filter(F.col("score") >= thr)
+    clusters = P.cluster(records, edges, cfg).persist()
+    assert clusters.count() == records.count()
+    assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0

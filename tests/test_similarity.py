@@ -1,0 +1,121 @@
+"""I1-I7: Jaro-Winkler, token-set Levenshtein, TF-IDF cosine, scoring."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nlp_entity_linking_spark.functions import similarity as S
+from nlp_entity_linking_spark.functions.normalize import tokenize
+
+
+def test_jaro_winkler_known_values():
+    # classic published examples (Winkler 1990 family)
+    assert abs(S.jaro_winkler_py("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(S.jaro_winkler_py("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    assert S.jaro_winkler_py("", "") == 1.0
+    assert S.jaro_winkler_py("a", "") == 0.0
+    assert S.jaro_winkler_py("abc", "abc") == 1.0
+
+
+def test_jaro_winkler_properties():
+    rng = random.Random(42)
+    alphabet = "abcdef "
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        ab, ba = S.jaro_winkler_py(a, b), S.jaro_winkler_py(b, a)
+        assert abs(ab - ba) < 1e-12  # symmetry
+        assert 0.0 <= ab <= 1.0
+        assert S.jaro_winkler_py(a, a) == 1.0 or a == ""
+
+
+def test_token_set_lev(spark):
+    df = spark.createDataFrame(
+        [("acme corp ltd", "ltd corp acme"), ("abc", "xyz"), ("", "")],
+        "a string, b string",
+    )
+    got = df.select(
+        S.token_set_lev(tokenize(F.col("a")), tokenize(F.col("b"))).alias("t")
+    ).collect()
+    assert got[0].t == 1.0  # token reorder is free
+    assert got[1].t < 0.34
+    assert got[2].t == 1.0
+
+
+def test_tfidf_pair_cosine_matches_numpy(spark):
+    docs = {
+        1: ["a", "b", "c"],
+        2: ["a", "b", "c"],
+        3: ["a", "x", "y"],
+        4: ["q", "r", "s"],
+    }
+    records = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "record_id long, tokens array<string>"
+    )
+    weights = S.tfidf_weights(records, "tokens")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos for r in S.pair_cosine(pairs, weights).collect()
+    }
+    # numpy oracle
+    n = len(docs)
+    vocab = sorted({t for v in docs.values() for t in v})
+    dfreq = {t: sum(t in v for v in docs.values()) for t in vocab}
+    idf = {t: math.log((n + 1) / (dfreq[t] + 1)) for t in vocab}
+
+    def vec(toks):
+        v = np.array([toks.count(t) * idf[t] for t in vocab])
+        return v / np.linalg.norm(v)
+
+    for (a, b), c in got.items():
+        expect = float(vec(docs[a]) @ vec(docs[b]))
+        assert abs(c - expect) < 1e-9, (a, b, c, expect)
+    assert got[(1, 2)] > got[(1, 3)] > got[(1, 4)] == 0.0
+
+
+def test_fit_calibration_separates():
+    rng = np.random.RandomState(42)
+    n = 400
+    pos = pd.DataFrame(
+        {
+            "jw": rng.uniform(0.85, 1.0, n),
+            "tsl": rng.uniform(0.7, 1.0, n),
+            "cos": rng.uniform(0.5, 1.0, n),
+            "is_match": True,
+        }
+    )
+    neg = pd.DataFrame(
+        {
+            "jw": rng.uniform(0.2, 0.8, n),
+            "tsl": rng.uniform(0.0, 0.5, n),
+            "cos": rng.uniform(0.0, 0.4, n),
+            "is_match": False,
+        }
+    )
+    model, thr = S.fit_calibration(pd.concat([pos, neg], ignore_index=True))
+    x = np.array([[0.95, 0.9, 0.8], [0.3, 0.2, 0.1]])
+    z = x @ np.array(model.weights) + model.bias
+    p = 1 / (1 + np.exp(-z))
+    assert p[0] > thr > p[1]
+
+
+def test_score_pairs_fused(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "acme corp", "acme corp", 1.0, 0.9),
+         (3, 4, "acme corp", "zzz inc", 0.1, 0.0)],
+        "id_a long, id_b long, norm_a string, norm_b string, tsl double, cos double",
+    )
+    model = S.ScoreModel()
+    got = S.score_pairs(df, model).orderBy("id_a").collect()
+    assert got[0].jw == 1.0
+    assert got[0].score > 0.9
+    assert got[1].score < 0.1
+    # fused pass must keep every input row & column
+    assert len(got) == 2 and "block_key" not in got[0].asDict()
