@@ -230,6 +230,218 @@ def q_levenshtein_parts(spark, sf_dir):
     )
 
 
+# --- batch 2: training-data-pipeline operators (dedup / text / ANN) --------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS_SQL = (
+    "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
+)
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Dedup family #1: exact (hash-groupBy on normalized-text digest)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_jaccard_docs(spark, sf_dir):
+    """Dedup family #4 metric: token-set Jaccard on consecutive doc pairs."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return ngram_jaccard_pairs(d, pairs, n=1)
+
+
+def q_minhash_dedup_docs(spark, sf_dir):
+    """Dedup family #2: MinHash+LSH near-dup groups (xxhash64-based — no SQL
+    oracle; driver records rows-only, pytest covers semantics)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_docs(spark, sf_dir):
+    """Dedup family #3: 64-bit SimHash signatures (rows-only check)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.normalize import normalize, tokenize
+    from nlp_entity_linking_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(tokenize(normalize("text"))).alias("simhash"))
+
+
+def q_quality_docs(spark, sf_dir):
+    """Text analysis: quality features (int counts + exact int-ratio doubles)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["distinct_ratio"].alias("distinct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_langid_docs(spark, sf_dir):
+    """Text analysis: heuristic language-ID distribution."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id("text").alias("lang_guess")).groupBy("lang_guess").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_token_counts_docs(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish token counts."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import (
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_ws"),
+        token_count_bpe("text").cast("long").alias("n_bpe"),
+    )
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Text analysis: md5 document fingerprint (canonical, oracle-exact)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+def q_rolling_fp_docs(spark, sf_dir):
+    """Text analysis: winnowing-style rolling fingerprints (rows-only)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(rolling_fingerprints("text")).alias("n_fps")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-k (rank by rounded cosine,
+    ties by id — cross-engine deterministic ints out)."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    from nlp_entity_linking_spark.operators.ann import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    sims = e.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_qv"), F.col("embedding")), 6).alias("_c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+def q_embed_cos_pairs(spark, sf_dir):
+    """Embedding cosine pairs above threshold (exact, bounded id range so
+    the O(n^2) oracle stays cheap)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.ann import cosine
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos6"))
+        .filter(F.col("cos6") >= 0.35)
+    )
+
+
+def q_neardup_embeddings_lsh(spark, sf_dir):
+    """Dedup family #5: embedding-cosine near-dup via random-hyperplane LSH
+    (approximate -> rows-only check; exact-path oracle is q_embed_cos_pairs)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.ann import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.35, n_planes=6, n_tables=8)
+
+
+def q_window_tumbling(spark, sf_dir):
+    """ST4 batch analog: tumbling 1-hour event windows."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """F6: CUBE grouping sets."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").cast("long").alias("sum_qty")
+    )
+
+
+def q_intersect_customers(spark, sf_dir):
+    """H5: INTERSECT — customers ordering in both 1994 and 1995."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.filter(F.year(F.col("o_orderdate")) == 1994).select("o_custkey")
+    y95 = o.filter(F.year(F.col("o_orderdate")) == 1995).select("o_custkey")
+    return y94.intersect(y95).agg(F.count("*").alias("n_both"))
+
+
+def q_pivot_lineitem(spark, sf_dir):
+    """Pivot: per returnflag, quantity by linestatus as columns."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").cast("long"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_groupby": q_agg_groupby,
@@ -244,6 +456,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "snb_pairs_docs": q_snb_pairs_docs,
         "levenshtein_parts": q_levenshtein_parts,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_jaccard_docs": q_token_jaccard_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "rolling_fp_docs": q_rolling_fp_docs,
+        "ann_topk": q_ann_topk,
+        "embed_cos_pairs": q_embed_cos_pairs,
+        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
+        "window_tumbling": q_window_tumbling,
+        "cube_agg": q_cube_agg,
+        "intersect_customers": q_intersect_customers,
+        "pivot_lineitem": q_pivot_lineitem,
     }
 
 
@@ -332,5 +560,127 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey, p_name,
                      lead(p_name) OVER (ORDER BY p_partkey) AS next_name
               FROM part) WHERE next_name IS NOT NULL
+        """,
+        "exact_dedup_docs": f"""
+            WITH d AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS dig
+                       FROM documents),
+                 g AS (SELECT dig, min(doc_id) AS dup_group FROM d GROUP BY dig)
+            SELECT d.doc_id, g.dup_group,
+                   d.doc_id = g.dup_group AS is_canonical
+            FROM d JOIN g USING (dig)
+        """,
+        "token_jaccard_docs": f"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct({_TOKS_SQL.format(c='text')}) AS s
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_filter(a.s, x -> list_contains(b.s, x)))
+                   / (len(a.s) + len(b.s)
+                      - len(list_filter(a.s, x -> list_contains(b.s, x))))
+                   AS jaccard
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "quality_docs": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL.format(c='text')} AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   len(list_distinct(toks)) / greatest(len(toks), 1)
+                     AS distinct_ratio,
+                   len(list_filter(toks, x -> list_contains(
+                     ['the','of','and','to','in','a','is','that','for','it',
+                      'as','was','with','be','by','on','not','he','i','this',
+                      'are','or','his','from','at','which','but','have','an'],
+                     x))) / greatest(len(toks), 1) AS stopword_ratio
+            FROM t
+        """,
+        "token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
+            FROM documents
+        """,
+        "fingerprint_docs": f"""
+            SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              round(list_cosine_similarity(
+                                q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS c
+                       FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id) AS rank
+              FROM s) WHERE rank <= 10
+        """,
+        "embed_cos_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        """,
+        "window_tumbling": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "intersect_customers": """
+            SELECT count(*) AS n_both FROM (
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+                        AS BIGINT) AS qty_o,
+                   CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+                        AS BIGINT) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "langid_docs": """
+            WITH t AS (SELECT list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+                       FROM documents),
+                 h AS (SELECT
+                   len(list_filter(toks, x -> list_contains(
+                     ['the','of','and','to','in','a','is','that','for','it',
+                      'as','was','with','be','by','on','not','he','i','this',
+                      'are','or','his','from','at','which','but','have','an'], x))) AS h_en,
+                   len(list_filter(toks, x -> list_contains(
+                     ['le','la','de','et','les','des','en','un','une','du',
+                      'que','est','pour','qui','dans','a','par','plus','pas',
+                      'au','sur','ne','se','ce','il','sont'], x))) AS h_fr,
+                   len(list_filter(toks, x -> list_contains(
+                     ['de','la','que','el','en','y','a','los','se','del','las',
+                      'un','por','con','no','una','su','para','es','al','lo',
+                      'como','mas','pero','sus','le'], x))) AS h_es,
+                   len(list_filter(toks, x -> list_contains(
+                     ['der','die','und','in','den','von','zu','das','mit',
+                      'sich','des','auf','fur','ist','im','dem','nicht','ein',
+                      'eine','als','auch','es','an','werden'], x))) AS h_de
+                   FROM t),
+                 g AS (SELECT CASE
+                   WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'und'
+                   WHEN h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+                   WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                   WHEN h_en >= h_de THEN 'en'
+                   ELSE 'de' END AS lang_guess FROM h)
+            SELECT lang_guess, count(*) AS n FROM g GROUP BY lang_guess
         """,
     }

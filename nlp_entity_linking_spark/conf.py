@@ -18,6 +18,10 @@ from pyspark.sql import SparkSession
 # executors (shuffle partitions ~ 2-3x total cores, broadcast threshold by
 # driver memory).
 DEFAULT_CONF: dict[str, str] = {
+    # local mode = single JVM: driver memory is the only heap knob that
+    # matters (container has 128 GiB). Must be set before JVM launch.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"),
+    "spark.driver.maxResultSize": "4g",
     # shuffle width ~ cores for local mode; cluster: 2-3x total cores.
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
     # explicit broadcast threshold (64 MiB): dimension tables / IDF maps /

@@ -104,6 +104,39 @@ def extract_mentions_html(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield html.map(mentions_of)
 
 
+_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("mentions", _MENTION_SCHEMA),
+    ]
+)
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Fused extraction: text + mentions in ONE decode/regex pass per batch
+    (the records stage calls this instead of two separate UDFs — one Arrow
+    round-trip and one html decode instead of two)."""
+
+    def mentions_of(s: str) -> list[dict]:
+        out = []
+        for m in _RE_TITLE.findall(s):
+            t = _RE_WS.sub(" ", _RE_TAG.sub(" ", m)).strip()
+            if t:
+                out.append({"surface": t, "kind": "title"})
+        for m in _RE_BOLD.findall(s):
+            t = _RE_WS.sub(" ", _RE_TAG.sub(" ", m)).strip()
+            if t:
+                out.append({"surface": t, "kind": "bold"})
+        return out
+
+    for html in batches:
+        decoded = _decode(html)
+        yield pd.DataFrame(
+            {"text": _strip_html(decoded), "mentions": decoded.map(mentions_of)}
+        )
+
+
 def mention_regex_spark() -> str:
     """Regex for capitalized-run mention extraction over plain text —
     SQL-expressible in both Spark and DuckDB (RE2-safe: no backrefs)."""

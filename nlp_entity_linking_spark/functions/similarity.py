@@ -150,19 +150,34 @@ def tfidf_weights(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
-def pair_cosine(pairs: DataFrame, weights: DataFrame) -> DataFrame:
+def pair_cosine(
+    pairs: DataFrame, weights: DataFrame, broadcast_weights: bool | None = None
+) -> DataFrame:
     """pairs(id_a, id_b, ...) + weights(record_id, token, w) ->
     pairs + cos column (0.0 when no shared token).
 
     Exact sparse dot product of L2-normalized vectors: join a-side weights,
     then b-side on (id_b, token) — only shared tokens survive the inner
     join — then sum per pair.
+
+    broadcast_weights: explicit small-side decision (north rule: broadcast
+    thresholds tuned, not defaulted). True pins both weight joins map-side —
+    right when |records| x tokens fits an executor; False forces shuffle
+    joins — the 10^12-row path. None = decide from a cheap count.
     """
-    wa = weights.select(
-        F.col("record_id").alias("id_a"), "token", F.col("w").alias("wa")
+    if broadcast_weights is None:
+        # ~40 bytes/row; stay well under the 64 MiB broadcast threshold
+        broadcast_weights = weights.count() < 1_500_000
+    wrap = F.broadcast if broadcast_weights else (lambda df: df)
+    wa = wrap(
+        weights.select(
+            F.col("record_id").alias("id_a"), "token", F.col("w").alias("wa")
+        )
     )
-    wb = weights.select(
-        F.col("record_id").alias("id_b"), "token", F.col("w").alias("wb")
+    wb = wrap(
+        weights.select(
+            F.col("record_id").alias("id_b"), "token", F.col("w").alias("wb")
+        )
     )
     dots = (
         pairs.select("id_a", "id_b")

@@ -65,25 +65,38 @@ def connected_components(
     for every vertex appearing in `edges` (cluster_id = min id in component).
 
     `on_iteration(i, edges_df)` — optional hook the pipeline uses to commit
-    per-iteration state to the catalog (resume support).
+    per-iteration state to the catalog (resume support; the hook's parquet
+    round-trip then truncates lineage, so pass checkpoint=False with it).
+    Default checkpoint=True uses localCheckpoint: plan truncation without
+    disk round-trips (durability comes from the catalog layer, not here).
     """
+    def _stats(df: DataFrame) -> tuple:
+        # set identity summary: (row count, order-insensitive hash XOR —
+        # overflow-free under ANSI mode; edges are distinct so no XOR
+        # cancellation). Equal stats => equal canonical edge sets (collision
+        # odds ~2^-64 per check; a false convergence would need a star step
+        # emitting a *different* colliding set — negligible).
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     cur = _canon(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
     if checkpoint:
-        cur = cur.checkpoint(eager=True)
+        cur = cur.localCheckpoint(eager=True)
+    cur_stats = _stats(cur)
     for i in range(max_iter):
         nxt = _canon(_small_star(_large_star(cur)))
         if checkpoint:
-            nxt = nxt.checkpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=True)
         if on_iteration is not None:
             nxt = on_iteration(i, nxt) or nxt
-        # converged when the canonical edge set is unchanged (symmetric diff
-        # empty); checking one direction + equal counts is sufficient and
-        # cheaper: |A|=|B| and A⊆B ⇒ A=B.
-        same_count = nxt.count() == cur.count()
-        if same_count and nxt.exceptAll(cur).isEmpty():
+        nxt_stats = _stats(nxt)  # single job per iteration
+        if nxt_stats == cur_stats:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_stats = nxt, nxt_stats
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
     # converged state is a collection of stars; in canonical (min, max) form

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_mentions_html, extract_text
+from ..functions.extract import extract_page
 from ..functions.normalize import char_shingles, normalize, tokenize
 
 RECORD_COLS = (
@@ -63,8 +63,12 @@ def extract_records(
     df = df.select(
         "url",
         "lang",
-        extract_text("html").alias("text"),
-        extract_mentions_html("html").alias("mentions"),
+        extract_page("html").alias("_page"),
+    ).select(
+        "url",
+        "lang",
+        F.col("_page.text").alias("text"),
+        F.col("_page.mentions").alias("mentions"),
     )
     title = F.filter(F.col("mentions"), lambda m: m["kind"] == F.lit("title"))
     df = (

@@ -27,7 +27,8 @@ from ..operators import records as R
 @dataclass(frozen=True)
 class PipelineConfig:
     minhash_k: int = 64
-    bands: int = 16
+    bands: int = 8  # 8 bands x 8 rows -> LSH threshold ~0.77 (precision-lean;
+    # SNB + CC transitivity carry borderline recall)
     shingle_n: int = 3
     salt_cap: int = 64
     snb_window: int = 3
@@ -45,7 +46,11 @@ def build_records(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    blocks = B.lsh_blocks(records, "shingles", k=cfg.minhash_k, bands=cfg.bands)
+    # persist: salting reads blocks twice (hot-key sizes + the salt join),
+    # and recomputing blocks means recomputing minhash signatures.
+    blocks = B.lsh_blocks(
+        records, "shingles", k=cfg.minhash_k, bands=cfg.bands
+    ).persist()
     salted = B.salt_blocks(blocks, cap=cfg.salt_cap)
     lsh_pairs = B.pairs_from_blocks(salted)
     if not cfg.use_snb:
@@ -79,7 +84,8 @@ def build_features(
         .join(b, "id_b")
         .withColumn("tsl", S.token_set_lev("tokens_a", "tokens_b"))
     )
-    weights = S.tfidf_weights(records, "ctx_tokens")
+    # persist: pair_cosine reads weights for a count and two joins
+    weights = S.tfidf_weights(records, "ctx_tokens").persist()
     feat = S.pair_cosine(feat, weights)
     return feat.select(
         "id_a", "id_b", "block_key", "norm_a", "norm_b", "tsl", "cos"

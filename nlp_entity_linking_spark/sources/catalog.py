@@ -76,7 +76,18 @@ class Catalog:
         df.write.mode("overwrite").parquet(self.table_path(name))
         self.commit(name, {"name": name, "ts": time.time(), **(meta or {})})
 
+    def write_alias(self, name: str, target: str) -> None:
+        """Commit `name` as a pointer to an already-committed table —
+        Iceberg-snapshot-pointer semantics: readers of a logical table name
+        atomically flip to a new physical version, never overwriting a path
+        that a live plan may still be reading (self-overwrite hazard in
+        incremental/streaming updates)."""
+        self.commit(name, {"alias_for": target, "ts": time.time()})
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        meta = self.committed_meta(name)
+        if meta and meta.get("alias_for"):
+            return self.read(spark, meta["alias_for"])
         return spark.read.parquet(self.table_path(name))
 
     # ------------------------------------------------------------------

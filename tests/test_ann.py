@@ -1,0 +1,78 @@
+"""ANN similarity search: brute-force exact top-k, LSH recall, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nlp_entity_linking_spark.operators import ann
+
+
+def _corpus(spark, n=300, dim=16, seed=0):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    corpus, vecs = _corpus(spark)
+    qn = 5
+    queries = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(qn)],
+        "query_id long, embedding array<float>",
+    )
+    got = ann.brute_force_topk(corpus, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    x = vecs.astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for q in range(qn):
+        order = sorted(range(len(vecs)), key=lambda i: (-sims[q, i], i))[:4]
+        ours = [v for _, v, _ in sorted(by_q[q])]
+        assert ours == order, (q, ours, order)
+        assert ours[0] == q  # self is its own nearest neighbor
+
+
+def test_lsh_topk_recall(spark):
+    # clustered corpus (the regime LSH targets): 40 centers x 10 members,
+    # members are small perturbations — a query's true top-k are its
+    # cluster-mates at cosine ~0.98.
+    rng = np.random.RandomState(3)
+    centers = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.05 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    exact = ann.brute_force_topk(corpus, queries, k=5).collect()
+    approx = ann.lsh_topk(corpus, queries, k=5, n_planes=12, n_tables=6).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+    assert {(i, i) for i in range(8)} <= approx_set  # self always found
+
+
+def test_cosine_neardup_pairs(spark):
+    rng = np.random.RandomState(1)
+    base = rng.randn(40, 16).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant near-dups: 100..103 are tiny perturbations of 0..3
+    for i in range(4):
+        rows.append((100 + i, (base[i] + 0.01 * rng.randn(16).astype(np.float32)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann.cosine_neardup_pairs(corpus, threshold=0.98).collect()
+    }
+    assert {(i, 100 + i) for i in range(4)} <= got
+    assert all(b - a == 100 for a, b in got)  # no false pairs among random vecs

@@ -32,7 +32,9 @@ def test_minhash_deterministic_and_similarity_monotone(spark):
 
 def test_lsh_blocks_recall_on_duplicates(spark):
     r = _records(spark, ["jane doe consulting", "jane doe consulting!", "jane d0e consulting", "completely different org"])
-    blocks = B.lsh_blocks(r)
+    # permissive banding (16x4, s-curve ~0.55) so the 1-char-typo pair is
+    # caught deterministically in this 4-row unit fixture
+    blocks = B.lsh_blocks(r, bands=16)
     pairs = B.pairs_from_blocks(blocks)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
     assert (0, 1) in got and (0, 2) in got
