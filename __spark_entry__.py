@@ -442,6 +442,87 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+# --- batch 3: as-of join, grouped-map pandas, frame windows ----------------
+
+
+def q_asof_events(spark, sf_dir):
+    """E6: as-of join — for each 'error' event, the most recent 'purchase'
+    by the same user at or before it (union + last-ignorenulls window; the
+    oracle uses DuckDB's native ASOF JOIN)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        errors, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("p_event_id_asof").alias("prev_purchase_id")
+    )
+
+
+def q_grouped_stats_docs(spark, sf_dir):
+    """F5/U: grouped-map pandas UDAF (applyInPandas) per-source stats."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.diagnostics import grouped_doc_stats
+
+    return grouped_doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_moving_window(spark, sf_dir):
+    """G3/G5: frame-spec sliding aggregate (3-row moving count of 'click'
+    events per user)."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum((F.col("event_type") == "click").cast("long")).over(w).alias(
+            "clicks_in_window"
+        ),
+    )
+
+
+def q_cc_docs(spark, sf_dir):
+    """J1-J7: large-star/small-star connected components, oracle-checked
+    against a DuckDB recursive-CTE transitive closure. Edges: consecutive
+    doc_ids sharing a language (deterministic chain components); singleton
+    docs keep their own id."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.cc import (
+        attach_singletons,
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("doc_id").alias("v"),
+        F.col("lang").alias("_lb"),
+    )
+    edges = d.join(b, "doc_id").filter(F.col("lang") == F.col("_lb")).select(
+        F.col("doc_id").alias("u"), "v"
+    )
+    labels = connected_components(edges)
+    return attach_singletons(
+        labels, d.select(F.col("doc_id").alias("record_id"))
+    ).select(F.col("record_id").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_groupby": q_agg_groupby,
@@ -472,6 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "intersect_customers": q_intersect_customers,
         "pivot_lineitem": q_pivot_lineitem,
+        "asof_events": q_asof_events,
+        "grouped_stats_docs": q_grouped_stats_docs,
+        "moving_window": q_moving_window,
+        "cc_docs": q_cc_docs,
     }
 
 
@@ -682,5 +767,47 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_en >= h_de THEN 'en'
                    ELSE 'de' END AS lang_guess FROM h)
             SELECT lang_guess, count(*) AS n FROM g GROUP BY lang_guess
+        """,
+        "asof_events": """
+            WITH e AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+                 p AS (SELECT event_id AS prev_purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id, e.user_id, p.prev_purchase_id
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "grouped_stats_docs": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_chars) AS BIGINT) / count(*) AS mean_chars,
+                   max(n_chars) AS max_chars,
+                   (SELECT d2.lang FROM documents d2 WHERE d2.source = d.source
+                    GROUP BY d2.lang ORDER BY count(*) DESC, d2.lang LIMIT 1)
+                     AS top_lang
+            FROM documents d GROUP BY source
+        """,
+        "moving_window": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS clicks_in_window
+            FROM events
+        """,
+        "cc_docs": """
+            WITH RECURSIVE
+            e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+                  JOIN documents b ON b.doc_id = a.doc_id + 1
+                                  AND a.lang = b.lang),
+            sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            nodes AS (SELECT DISTINCT u AS n FROM sym),
+            reach AS (SELECT n, n AS m FROM nodes
+                      UNION
+                      SELECT s.u AS n, r.m FROM sym s JOIN reach r ON s.v = r.n),
+            comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
         """,
     }

@@ -21,6 +21,10 @@ DEFAULT_CONF: dict[str, str] = {
     # local mode = single JVM: driver memory is the only heap knob that
     # matters (container has 128 GiB). Must be set before JVM launch.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"),
+    # pin the initial heap: growing a heap from the ~1g default under 32
+    # allocating task threads causes GCLocker retry stalls in the Arrow
+    # (native <-> JVM) path — first jobs run 3-5x slow until the heap grows.
+    "spark.driver.extraJavaOptions": "-Xms32g -XX:+UseG1GC",
     "spark.driver.maxResultSize": "4g",
     # shuffle width ~ cores for local mode; cluster: 2-3x total cores.
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),

@@ -262,6 +262,7 @@ def score_pairs(
     model: ScoreModel,
     surface_a: str = "norm_a",
     surface_b: str = "norm_b",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Fused feature+score batch pass (SURVEY.md I7).
 
@@ -269,7 +270,19 @@ def score_pairs(
     mapInPandas pass per partition computes Jaro-Winkler and the calibrated
     sigmoid — a single Arrow round-trip; batch size bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    n_partitions: explicit parallelism for the Python-worker pass. AQE's
+    size-based coalescing targets ~64 MiB *JVM* partitions, which is far
+    too coarse for a CPU-bound UDF stage — left alone it can funnel the
+    whole table through 2-3 Python workers. Default: 2x defaultParallelism.
     """
+    if n_partitions is None:
+        n_partitions = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+    # repartition only when the input is under-partitioned for the worker
+    # pool: a redundant repartition costs a full disk shuffle — in local
+    # mode shuffles share ONE disk, so gratuitous shuffles anti-scale.
+    if pairs.rdd.getNumPartitions() < n_partitions // 2:
+        pairs = pairs.repartition(n_partitions)
     w1, w2, w3 = model.weights
     b0 = model.bias
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
