@@ -56,34 +56,25 @@ def main() -> None:
     cfg = P.PipelineConfig()
     pages, _gold = gen_pages(spark, n_pages)
 
-    records = timed(
-        "er_records",
-        lambda: P.build_records(pages, cfg).persist(),
-    )
-    n_records = records.count()
+    # each stage persisted + counted INSIDE its timer so the per-stage
+    # numbers attribute real work, not lazy plan construction
+    records = P.build_records(pages, cfg).persist()
+    extras["n_records"] = timed("er_records", records.count)
 
-    pairs = timed(
-        "er_blocking_pairs",
-        lambda: (lambda d: (d.count(), d))(P.build_candidate_pairs(records, cfg).persist())[1],
-    )
-    n_pairs = pairs.count()
+    pairs = P.build_candidate_pairs(records, cfg).persist()
+    extras["n_candidate_pairs"] = timed("er_blocking_pairs", pairs.count)
 
-    feats = P.build_features(records, pairs, cfg)
-    t0 = time.perf_counter()
+    feats = P.build_features(records, pairs, cfg).persist()
+    timed("er_features", feats.count)
+
     scored = S.score_pairs(feats, cfg.model).persist()
-    n_scored = scored.count()
-    dt = time.perf_counter() - t0
-    timings["er_feature_score"] = round(dt, 3)
+    n_scored = timed("er_score", scored.count)
     extras["pairs_scored"] = n_scored
-    extras["pairs_per_sec"] = round(n_scored / dt, 1) if dt > 0 else 0.0
+    extras["pairs_per_sec"] = round(n_scored / timings["er_score"], 1)
 
     edges = scored.filter(F.col("score") >= cfg.score_threshold)
-    clusters = timed(
-        "er_connected_components",
-        lambda: (lambda d: (d.count(), d))(P.cluster(records, edges, cfg).persist())[1],
-    )
-    extras["n_records"] = n_records
-    extras["n_candidate_pairs"] = n_pairs
+    clusters = P.cluster(records, edges, cfg).persist()
+    timed("er_connected_components", clusters.count)
     extras["n_clusters"] = clusters.select("cluster_id").distinct().count()
 
     # representative operator queries over the driver testdata

@@ -100,10 +100,30 @@ def lsh_blocks(
     bands: int = DEFAULT_BANDS,
     seed: int = 42,
 ) -> DataFrame:
-    """records(record_id, <shingles>) -> blocks(record_id, block_key)."""
-    sigs = minhash_signatures_df(records, shingles_col, k=k, seed=seed)
-    return sigs.select(
-        "record_id", F.explode(band_keys("sig", bands, k)).alias("block_key")
+    """records(record_id, <shingles>) -> blocks(record_id, block_key).
+
+    Fully unrolled column expressions (no higher-order-function lambdas —
+    those run interpreted and re-evaluate subexpressions per element): the
+    k min-hashes stay as k agg columns and each band key hashes its r
+    columns directly via multi-arg xxhash64.
+    """
+    r = k // bands
+    ex = records.select("record_id", F.explode(shingles_col).alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"), F.lit(seed))).alias(f"_h{i}")
+        for i in range(k)
+    ]
+    per = ex.groupBy("record_id").agg(*aggs)
+    band_cols = [
+        F.format_string(
+            "mh:%d:%d",
+            F.lit(b),
+            F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)]),
+        )
+        for b in range(bands)
+    ]
+    return per.select(
+        "record_id", F.explode(F.array(*band_cols)).alias("block_key")
     )
 
 
@@ -152,12 +172,16 @@ def block_stats(blocks: DataFrame) -> DataFrame:
     )
 
 
-def pairs_from_blocks(blocks: DataFrame, min_block: int = 2) -> DataFrame:
+def pairs_from_blocks(
+    blocks: DataFrame, min_block: int = 2, dedup: bool = True
+) -> DataFrame:
     """Within-block self-join -> candidate pairs (id_a < id_b), one row per
     pair with the (deterministic min) shared block key.
 
     Shuffle anatomy: one hash exchange on block_key for the self-join (AQE
     splits residual skew), then one exchange on (id_a, id_b) for the dedup.
+    Pass dedup=False when the caller merges multiple blockers and dedups
+    once (merge_pairs) — saves a full (id_a, id_b) shuffle.
     """
     b = blocks.select("block_key", "record_id")
     # prune size-1 blocks before the join: they produce nothing but still
@@ -179,6 +203,8 @@ def pairs_from_blocks(blocks: DataFrame, min_block: int = 2) -> DataFrame:
             F.col("block_key"),
         )
     )
+    if not dedup:
+        return pairs
     return pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
 
 

@@ -52,9 +52,11 @@ def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
         records, "shingles", k=cfg.minhash_k, bands=cfg.bands
     ).persist()
     salted = B.salt_blocks(blocks, cap=cfg.salt_cap)
-    lsh_pairs = B.pairs_from_blocks(salted)
     if not cfg.use_snb:
-        return lsh_pairs
+        return B.pairs_from_blocks(salted)
+    # dedup once across both blockers (merge_pairs) instead of per-blocker —
+    # one (id_a, id_b) exchange instead of two
+    lsh_pairs = B.pairs_from_blocks(salted, dedup=False)
     snb = B.snb_pairs(records, "norm", window=cfg.snb_window)
     return B.merge_pairs(lsh_pairs, snb)
 
