@@ -523,6 +523,24 @@ def q_cc_docs(spark, sf_dir):
     ).select(F.col("record_id").alias("doc_id"), "cluster_id")
 
 
+def q_sql_api(spark, sf_dir):
+    """SQL-API surface: the same Catalyst plans via spark.sql over temp
+    views (SURVEY.md §3 — DataFrame and SQL are one engine)."""
+    _prep(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_groupby": q_agg_groupby,
@@ -557,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats_docs": q_grouped_stats_docs,
         "moving_window": q_moving_window,
         "cc_docs": q_cc_docs,
+        "sql_api": q_sql_api,
     }
 
 
@@ -809,5 +828,13 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
             SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+        """,
+        "sql_api": """
+            SELECT o_orderpriority,
+                   count(*) AS n_lines,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            GROUP BY o_orderpriority
         """,
     }
