@@ -273,13 +273,19 @@ def q_minhash_dedup_docs(spark, sf_dir):
 
 
 def q_simhash_docs(spark, sf_dir):
-    """Dedup family #3: 64-bit SimHash signatures (rows-only check)."""
+    """Dedup family #3: 64-bit SimHash signatures via the codegen scale form
+    (explode + 64 JVM sum aggregates; rows-only check — xxhash64 has no
+    DuckDB mirror; pytest proves equality with the row-local column form)."""
     _prep(spark)
     from nlp_entity_linking_spark.functions.normalize import normalize, tokenize
-    from nlp_entity_linking_spark.operators.dedup import simhash64
+    from nlp_entity_linking_spark.operators.dedup import simhash_signatures_df
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(tokenize(normalize("text"))).alias("simhash"))
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"), tokenize(normalize("text")).alias("toks")
+    )
+    return simhash_signatures_df(d, tokens_col="toks").select(
+        F.col("record_id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
 
 
 def q_quality_docs(spark, sf_dir):

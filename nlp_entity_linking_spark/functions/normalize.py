@@ -69,11 +69,22 @@ def char_shingles(norm_col: Column | str, n: int = 3) -> Column:
 
 
 def word_ngrams(tokens_col: Column | str, n: int = 2) -> Column:
-    """Word n-grams over a token array (dedup / fingerprint features)."""
+    """Word n-grams over a token array (dedup / fingerprint features).
+
+    Empty token arrays yield an EMPTY gram array (not [""]): two
+    empty/punctuation-only docs must not share a gram and score Jaccard 1.0
+    — matching the SQL oracle, where 0-token docs produce 0 grams and the
+    Jaccard ratio degenerates to NULL. The single whole-string gram fallback
+    applies only to 0 < size < n (tiny-but-real surfaces stay block-able).
+    """
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    return F.when(F.size(c) < n, F.array(F.concat_ws(" ", c))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(c) - n),
-            lambda i: F.concat_ws(" ", F.slice(c, i + 1, n)),
+    return (
+        F.when(F.size(c) == 0, F.array().cast("array<string>"))
+        .when(F.size(c) < n, F.array(F.concat_ws(" ", c)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(c) - n),
+                lambda i: F.concat_ws(" ", F.slice(c, i + 1, n)),
+            )
         )
     )

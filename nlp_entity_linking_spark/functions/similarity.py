@@ -276,6 +276,13 @@ def score_pairs(
     too coarse for a CPU-bound UDF stage — left alone it can funnel the
     whole table through 2-3 Python workers. Default: 2x defaultParallelism.
     """
+    # re-scoring input that already carries jw/score (e.g. new calibration
+    # over previously scored pairs) would otherwise produce duplicate field
+    # names and fail at analysis — drop them; jw is recomputed anyway, and
+    # callers who want to keep materialized jw should use logistic_expr.
+    stale = [c for c in ("jw", "score") if c in pairs.columns]
+    if stale:
+        pairs = pairs.drop(*stale)
     if n_partitions is None:
         n_partitions = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     # repartition only when the input is under-partitioned for the worker

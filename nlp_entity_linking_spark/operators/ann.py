@@ -9,15 +9,23 @@ explicitly. Two paths:
   for top-k. O(|corpus| x |queries|) — the baseline and the verifier.
 * lsh_topk — scale path: random-hyperplane (SimHash-for-vectors, Charikar
   '02) signatures bucket the corpus; only same-bucket candidates get exact
-  cosine. Multiple hash tables raise recall; hyperplanes are seeded numpy
-  literals so the operator stays deterministic and cluster-layout-free.
+  cosine. Multiple hash tables raise recall. ALL tables' signatures come
+  from ONE Arrow-batched pandas UDF pass whose hyperplanes are a seeded
+  numpy matrix built worker-side — zero plan literals (a literal-plane plan
+  at real embedding dims (768-3072) x 6-8 tables is 10^5-10^6 literal
+  doubles: plan explosion, codegen fallback, driver OOM on explain), zero
+  driver-side dim probes, and the corpus is scanned once (posexplode over
+  tables, not one union branch per table).
 * cosine_neardup_pairs — embedding near-duplicate detection (the 5th dedup
   family): LSH-bucketed self-join + exact cosine >= threshold.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,23 +80,58 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).tolist()
+def rp_signatures(n_planes: int, n_tables: int, seed: int):
+    """Pandas-UDF factory: array<float> embedding -> array<long> of
+    `n_tables` random-hyperplane signatures (one bit per plane = sign of the
+    projection, packed little-endian).
+
+    The hyperplane matrix is seeded numpy built LAZILY inside the UDF from
+    (seed, table, batch width): deterministic across runs and partitionings,
+    independent of cluster layout, with zero literals in the logical plan
+    and no driver-side `.first()` dim probe. One matmul per Arrow batch
+    covers every table ((n, dim) @ (dim, tables*planes))."""
+    if not 0 < n_planes <= 63:
+        raise ValueError("n_planes must be in 1..63 (packed into a signed long)")
+
+    @F.pandas_udf("array<long>")
+    def sigs(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes_t = None  # (dim, n_tables * n_planes); built on first batch
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack(vecs.to_numpy()).astype(np.float64)
+            if planes_t is None:
+                dim = v.shape[1]
+                planes_t = np.concatenate(
+                    [
+                        np.random.RandomState(seed + 1000 * t).randn(n_planes, dim)
+                        for t in range(n_tables)
+                    ]
+                ).T
+            bits = (v @ planes_t) > 0  # (n, tables*planes)
+            packed = (
+                bits.reshape(len(v), n_tables, n_planes) * weights
+            ).sum(axis=2)  # (n, tables) int64
+            yield pd.Series(list(packed))
+
+    return sigs
 
 
-def rp_signature(vec_col, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: one bit per plane (sign of projection),
-    packed into a long. Pure column expressions over literal planes."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(v, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(bit)
-    return sig
+def rp_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """(id, bucket) — one row per (row, table), bucket = 't<table>:<sig>'.
+    THIN by design: the embedding never rides the explode or the bucket
+    shuffle; callers re-attach vectors to the (much smaller) candidate set."""
+    sig_udf = rp_signatures(n_planes, n_tables, seed)
+    return df.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("_tbl", "_sig")
+    ).select(
+        id_col,
+        F.format_string("t%d:%d", F.col("_tbl"), F.col("_sig")).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -107,46 +150,28 @@ def lsh_topk(
     of n_tables tables, exact cosine only on candidates.
 
     Recall/cost dial: more tables or fewer planes -> more candidates.
-    """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    c_buckets = []
-    q_buckets = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_buckets.append(
-            c.select(
-                id_col,
-                "_cv",
-                F.format_string("t%d:%d", F.lit(t), rp_signature("_cv", planes)).alias(
-                    "bucket"
-                ),
-            )
-        )
-        q_buckets.append(
-            q.select(
-                query_id_col,
-                "_qv",
-                F.format_string("t%d:%d", F.lit(t), rp_signature("_qv", planes)).alias(
-                    "bucket"
-                ),
-            )
-        )
-    cb = c_buckets[0]
-    for x in c_buckets[1:]:
-        cb = cb.unionByName(x)
-    qb = q_buckets[0]
-    for x in q_buckets[1:]:
-        qb = qb.unionByName(x)
+
+    Shuffle anatomy: corpus scanned once for thin buckets (id + bucket
+    string — vectors do NOT ride the explode), broadcast bucket join against
+    the (small) query buckets, candidate dedup, then ONE corpus join
+    re-attaches vectors to the deduped candidate set for exact verification.
+    `dim` is accepted for API compatibility; the hyperplanes self-size from
+    the data worker-side, so no driver scan happens either way."""
+    cb = rp_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed)
+    qb = rp_buckets(queries, query_id_col, vec_col, n_planes, n_tables, seed)
     cand = (
         cb.join(F.broadcast(qb), "bucket")
-        .select(query_id_col, id_col, "_qv", "_cv")
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    sims = cand.select(
-        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    sims = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -166,22 +191,15 @@ def cosine_neardup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >= t):
-    LSH self-join bounds the quadratic surface; exact cosine verifies."""
-    dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col).alias("record_id"), F.col(vec_col).alias("_v"))
-    buckets = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        b = c.select(
-            "record_id",
-            F.format_string("t%d:%d", F.lit(t), rp_signature("_v", planes)).alias(
-                "block_key"
-            ),
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
+    LSH self-join (thin buckets, salted) bounds the quadratic surface; exact
+    cosine verifies on the candidates only."""
     from .blocking import pairs_from_blocks, salt_blocks
 
+    buckets = rp_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed).select(
+        F.col(id_col).alias("record_id"), F.col("bucket").alias("block_key")
+    )
     cand = pairs_from_blocks(salt_blocks(buckets, cap=512))
+    c = corpus.select(F.col(id_col).alias("record_id"), F.col(vec_col).alias("_v"))
     a = c.select(F.col("record_id").alias("id_a"), F.col("_v").alias("va"))
     b = c.select(F.col("record_id").alias("id_b"), F.col("_v").alias("vb"))
     return (

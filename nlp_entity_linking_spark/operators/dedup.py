@@ -97,10 +97,13 @@ def minhash_dedup(
     b = base.select(F.col("record_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # NULL (not 0/0) when both gram sets are empty — matches the SQL-oracle
+    # semantics and never divides by zero under ANSI mode.
+    jac = F.when(union > 0, inter / union)
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -112,11 +115,62 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _assemble_sig(vote_col_of) -> F.Column:
+    """64 vote columns/exprs -> packed signed-64 signature: bit b set iff
+    vote_b > 0. Shift amounts unrolled in Python (must be literals)."""
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(vote_col_of(b) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_signatures_df(
+    records: DataFrame, tokens_col: str = "tokens", id_col: str = "record_id"
+) -> DataFrame:
+    """records(id, <tokens>) -> (id, sig: long). The SCALE form of SimHash.
+
+    explode tokens once -> hash each token ONCE in codegen -> 64 JVM sum
+    aggregates (one +1/-1 vote column per bit, map-side combined) ->
+    assemble the packed signature. Shuffle = |records| x 64 longs,
+    independent of token count, all whole-stage-codegen.
+
+    The HOF column form (`simhash64`) runs interpreted and re-evaluates its
+    lambda per token element — measured ~an order of magnitude slower at
+    100k docs (same pathology the LSH banding fix removed, blocking.py).
+    Signature-equal to `simhash64` including empty-token docs (sig 0):
+    explode_outer keeps them as a NULL token voting 0 on every bit.
+    """
+    ex = records.select(id_col, F.explode_outer(tokens_col).alias("_t"))
+    ex = ex.select(
+        id_col, F.xxhash64("_t").alias("_h"), F.col("_t").isNull().alias("_pad")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("_pad"), F.lit(0))
+            .when(F.shiftright(F.col("_h"), b).bitwiseAND(1) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    per = ex.groupBy(id_col).agg(*aggs)
+    return per.select(
+        F.col(id_col), _assemble_sig(lambda b: F.col(f"_v{b}")).alias("sig")
+    )
+
+
 def simhash64(tokens_col) -> F.Column:
     """64-bit SimHash of a token array (Charikar '02) — pure column
     expressions: per-token xxhash64 bits vote +1/-1 per position, sign of
     the vote becomes the signature bit. Row-local; bit positions unrolled in
-    Python (shift amounts must be literals in the DataFrame API)."""
+    Python (shift amounts must be literals in the DataFrame API).
+
+    NOTE: higher-order-function lambdas run interpreted (no codegen) — this
+    is the small-data/unit-test form; pipelines use `simhash_signatures_df`
+    (explode + 64 codegen aggregates, ~10x faster, signature-identical)."""
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     one = F.lit(1).cast("long")
     neg = F.lit(-1).cast("long")
@@ -136,15 +190,7 @@ def simhash64(tokens_col) -> F.Column:
             lambda x, y: x + y,
         ),
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        bit_val = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-        sig = sig.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, bit_val).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    return _assemble_sig(lambda b: F.element_at(votes, b + 1))
 
 
 def simhash_dedup(
@@ -156,9 +202,12 @@ def simhash_dedup(
     """SimHash near-dup: block on 4x16-bit signature chunks (pigeonhole: two
     signatures within Hamming distance 3 share at least one of 4 chunks),
     verify with bit_count(xor) <= max_hamming, cluster."""
-    base = docs.select(
-        F.col(id_col).alias("record_id"),
-        simhash64(tokenize(normalize(text_col))).alias("sig"),
+    base = simhash_signatures_df(
+        docs.select(
+            F.col(id_col).alias("record_id"),
+            tokenize(normalize(text_col)).alias("_toks"),
+        ),
+        tokens_col="_toks",
     ).persist()
     chunks = base.select(
         "record_id",
@@ -176,7 +225,13 @@ def simhash_dedup(
             )
         ).alias("block_key"),
     )
-    cand = B.pairs_from_blocks(chunks.select("record_id", "block_key"))
+    # salt before pair expansion: a hot 16-bit chunk (template/boilerplate
+    # corpora hash many near-identical docs into one chunk value) would
+    # otherwise collect_list an unbounded array and explode C(n,2) pairs on
+    # a single row — same bound as the minhash (256) / embedding (512) paths.
+    cand = B.pairs_from_blocks(
+        B.salt_blocks(chunks.select("record_id", "block_key"), cap=256)
+    )
     a = base.select(F.col("record_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = base.select(F.col("record_id").alias("id_b"), F.col("sig").alias("sig_b"))
     verified = (
@@ -208,15 +263,16 @@ def ngram_jaccard_pairs(
     )
     a = g.select(F.col(id_col).alias("id_a"), F.col("_g").alias("ga"))
     b = g.select(F.col(id_col).alias("id_b"), F.col("_g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("ga", "gb"))
-                / F.size(F.array_union("ga", "gb"))
-            ).alias("jaccard"),
+            # NULL when both docs have zero grams (empty/punct-only text) —
+            # the oracle's 0/0 degenerates to NULL the same way.
+            F.when(union > 0, inter / union).alias("jaccard"),
         )
     )

@@ -52,10 +52,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
     )
     # right rows sort BEFORE left rows at equal timestamps (_is_left asc),
-    # so an exactly-coincident right row is visible to the left row.
+    # so an exactly-coincident right row is visible to the left row. `_rrow`
+    # (the right payload struct, NULL on left rows) completes the total
+    # order: among right rows with identical (key, ts) the max payload
+    # struct sorts last and is the one last(ignorenulls) picks — without it
+    # the tie would resolve by partition order (nondeterministic).
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", "_is_left")
+        .orderBy("_t", "_is_left", F.col("_rrow"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l.unionByName(r).withColumn(

@@ -30,6 +30,18 @@ RECORD_COLS = (
 )
 
 
+def audit_record_ids(records: DataFrame) -> int:
+    """Collision audit for the xxhash64(url) record-id assignment: number of
+    record_ids carrying more than one distinct url (README deployment notes;
+    must be 0). One cheap hash aggregate over (record_id, url)."""
+    return (
+        records.groupBy("record_id")
+        .agg(F.countDistinct("url").alias("_n_urls"))
+        .filter(F.col("_n_urls") > 1)
+        .count()
+    )
+
+
 def latest_per_url(pages: DataFrame) -> DataFrame:
     """One row per url — the newest warc_ts snapshot (SURVEY.md B4/E6).
 

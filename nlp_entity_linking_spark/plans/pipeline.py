@@ -94,17 +94,44 @@ def build_features(
     )
 
 
+# IRLS needs thousands of labeled pairs, not millions: cap the driver-side
+# collect so a caller with 10^8 labeled pairs can't OOM the driver.
+CALIBRATION_SAMPLE_CAP = 1_000_000
+
+
+def bounded_labeled_sample(labeled: DataFrame, cap: int) -> DataFrame:
+    """Deterministic (seed-free, partition-layout-free) down-sample of a
+    labeled-pair DataFrame to ~cap rows: keep pairs whose xxhash64 lands in
+    1 of ceil(n/cap) residue classes. No-op when already under cap."""
+    n = labeled.count()
+    if n <= cap:
+        return labeled
+    k = -(-n // cap)  # ceil
+    return labeled.filter(
+        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(k)) == 0
+    )
+
+
 def calibrate(
-    features: DataFrame, labeled_pairs: DataFrame, cfg: PipelineConfig
+    features: DataFrame,
+    labeled_pairs: DataFrame,
+    cfg: PipelineConfig,
+    sample_cap: int = CALIBRATION_SAMPLE_CAP,
 ) -> "PipelineConfig":
-    """Platt-style calibration (SURVEY.md I6): score the labeled subset once
-    with the default model to materialize jw, fit logistic coefficients +
-    max-F1 threshold driver-side, return an updated config."""
+    """Platt-style calibration (SURVEY.md I6): score a bounded labeled
+    sample once with the default model to materialize jw, fit logistic
+    coefficients + max-F1 threshold driver-side, return an updated config.
+
+    The toPandas() is bounded by `sample_cap` via a deterministic
+    xxhash-residue filter — calibration quality saturates long before 10^6
+    pairs, and an unbounded collect is a driver OOM at real labeled-set
+    sizes."""
     import dataclasses
 
     lf = features.join(
         labeled_pairs.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
     )
+    lf = bounded_labeled_sample(lf, sample_cap)
     scored = S.score_pairs(lf, cfg.model)
     sample = scored.select("jw", "tsl", "cos", "is_match").toPandas()
     model, threshold = S.fit_calibration(sample)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..operators import cc as CC
+from ..operators import records as R
 from ..operators.evaluate import f1_metrics, gen_labeled_pairs
 from ..sources.catalog import Catalog
 from . import pipeline as P
@@ -37,6 +38,15 @@ def run_with_catalog(
     records = cat.stage(
         spark, "records", lambda: P.build_records(pages, cfg), resume
     )
+    # collision audit for the hash-assigned record ids (README deployment
+    # notes): one agg over the committed parquet; a 64-bit collision would
+    # silently merge two urls' records, so fail loudly instead.
+    n_collisions = R.audit_record_ids(records)
+    if n_collisions:
+        raise RuntimeError(
+            f"record_id collision audit failed: {n_collisions} xxhash64(url) "
+            "collisions — switch to the 128-bit id assignment"
+        )
     pairs = cat.stage(
         spark,
         "candidate_pairs",

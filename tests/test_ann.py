@@ -62,6 +62,56 @@ def test_lsh_topk_recall(spark):
     assert {(i, i) for i in range(8)} <= approx_set  # self always found
 
 
+def test_lsh_topk_dim768_recall_and_bounded_plan(spark):
+    """Real-embedding-dim regression: at dim=768 the hyperplanes must NOT be
+    plan literals (literal planes at 768 x 12 x 6 would be ~55k doubles in
+    the plan -> codegen fallback / driver OOM at explain). Recall holds and
+    the explain string stays small."""
+    import contextlib
+    import io
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(30, 768)
+    rows = []
+    for i in range(240):
+        v = centers[i % 30] + 0.05 * rng.randn(768)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(6)], "query_id long, embedding array<float>"
+    )
+    approx = ann.lsh_topk(corpus, queries, k=5, n_planes=12, n_tables=6)
+    with contextlib.redirect_stdout(io.StringIO()) as buf:
+        approx.explain("extended")
+    plan = buf.getvalue()
+    assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+    exact = ann.brute_force_topk(corpus, queries, k=5).collect()
+    got = approx.collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in got}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.8
+
+
+def test_rp_signatures_deterministic_across_partitionings(spark):
+    """Worker-side seeded planes: same vectors -> same signatures regardless
+    of partition count / batch boundaries."""
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(32).astype(np.float32).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    udf = ann.rp_signatures(n_planes=16, n_tables=3, seed=5)
+    one = {
+        r.vec_id: r.s
+        for r in df.coalesce(1).select("vec_id", udf("embedding").alias("s")).collect()
+    }
+    many = {
+        r.vec_id: r.s
+        for r in df.repartition(13)
+        .select("vec_id", udf("embedding").alias("s"))
+        .collect()
+    }
+    assert one == many and len(one) == 100
+
+
 def test_cosine_neardup_pairs(spark):
     rng = np.random.RandomState(1)
     base = rng.randn(40, 16).astype(np.float32)

@@ -52,6 +52,28 @@ def test_simhash64_properties(spark):
     assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[3])
 
 
+def test_simhash_df_equals_column_form(spark):
+    """The codegen scale form (explode + 64 sum aggs) must be
+    signature-identical to the row-local HOF form — including empty docs
+    (sig 0) and duplicate-token voting."""
+    docs = DOCS + [(6, ""), (7, "...!!!"), (8, "dup dup dup word")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = df.select(
+        F.col("doc_id").alias("record_id"),
+        tokenize(normalize("text")).alias("toks"),
+    )
+    fast = {
+        r.record_id: r.sig
+        for r in D.simhash_signatures_df(base, tokens_col="toks").collect()
+    }
+    slow = {
+        r.record_id: r.sig
+        for r in base.select("record_id", D.simhash64("toks").alias("sig")).collect()
+    }
+    assert fast == slow
+    assert fast[6] == 0 and fast[7] == 0
+
+
 def test_simhash_dedup(spark):
     got = {
         r.doc_id: r.dup_group

@@ -39,9 +39,40 @@ def test_end_to_end_f1(spark):
     scored = S.score_pairs(features, cfg.model).persist()
     scored.count()
     thr, metrics = P.select_threshold(scored, records, labeled, cfg)
-    assert metrics["f1"] >= 0.97, metrics
+    # binding target (BASELINE.json): pairwise F1 >= 0.99 at the shared
+    # blocking key — gate at the target, not below it.
+    assert metrics["f1"] >= 0.99, metrics
     # cluster output is a valid partition of the records
     edges = scored.filter(F.col("score") >= thr)
     clusters = P.cluster(records, edges, cfg).persist()
     assert clusters.count() == records.count()
     assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0
+
+
+def test_record_id_collision_audit(spark):
+    from nlp_entity_linking_spark.operators.records import audit_record_ids
+
+    pages, _ = gen_pages(spark, 200)
+    records = P.build_records(pages, P.PipelineConfig())
+    assert audit_record_ids(records) == 0
+    # a planted collision (two urls forced onto one record_id) must be seen
+    forged = records.limit(2).withColumn("record_id", F.lit(12345))
+    assert audit_record_ids(records.unionByName(forged)) == 1
+
+
+def test_calibration_sample_is_bounded(spark):
+    """The driver-side calibration collect is capped: a labeled set far over
+    the cap is deterministically down-sampled to ~cap rows before toPandas."""
+    big = spark.range(0, 100_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cap = 1_000
+    sampled = P.bounded_labeled_sample(big, cap)
+    n = sampled.count()
+    assert n <= int(cap * 1.2), n  # ~n/ceil(n/cap), small hash variance
+    assert n > 0
+    # deterministic: same input -> same sample
+    assert sampled.exceptAll(P.bounded_labeled_sample(big, cap)).count() == 0
+    # under-cap inputs pass through untouched
+    small = big.limit(10)
+    assert P.bounded_labeled_sample(small, cap).count() == 10
