@@ -239,6 +239,31 @@ _NORM_SQL = (
 _TOKS_SQL = (
     "list_filter(string_split(" + _NORM_SQL + ", ' '), x -> x <> '')"
 )
+# DuckDB mirror of functions.normalize.word_ngrams(toks, 3) incl. the
+# empty -> [] and 0<len<3 -> [whole string] fallbacks (`{t}` = token list).
+_GRAMS3_SQL = (
+    "CASE WHEN len({t}) = 0 THEN []::VARCHAR[] "
+    "WHEN len({t}) < 3 THEN [array_to_string({t}, ' ')] "
+    "ELSE list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string({t}[i:i+2], ' ')) END"
+)
+# DuckDB mirror of functions.textstats.md5_long: first 60 md5 bits as BIGINT.
+_MD5LONG_SQL = "CAST('0x' || substr(md5({c}), 1, 15) AS BIGINT)"
+
+
+def _rp_bucket_sql(n_planes: int = 8) -> str:
+    """DuckDB mirror of operators.ann.quantized_rp_bucket over a quantized
+    BIGINT vector column `qv`: same LCG-derived Rademacher signs, same exact
+    integer projection sign, same bit packing."""
+    parts = []
+    for p in range(n_planes):
+        sign = (
+            f"(1 - 2 * ((((1103515245*(d + {64 * p}) + 12345) % 2147483648)"
+            " >> 16) & 1))"
+        )
+        proj = f"list_sum(list_transform(range(1, len(qv)+1), d -> qv[d] * {sign}))"
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
 
 
 def q_exact_dedup_docs(spark, sf_dir):
@@ -285,6 +310,168 @@ def q_simhash_docs(spark, sf_dir):
     )
     return simhash_signatures_df(d, tokens_col="toks").select(
         F.col("record_id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
+
+
+def _consecutive_doc_pairs(d):
+    """Deterministic candidate pairs (doc_id, doc_id+1) — the fixed pair set
+    the verify-stage oracles run the match math on."""
+    return (
+        d.select(F.col("doc_id").alias("id_a"))
+        .withColumn("id_b", F.col("id_a") + 1)
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+
+
+def q_minhash_verify_docs(spark, sf_dir):
+    """VERIFY stage of the minhash-LSH family, hash-checked: exact distinct
+    word-3-gram Jaccard + the 0.7 duplicate decision on deterministic
+    candidate pairs — the same math minhash_dedup applies to LSH survivors.
+    (Only the xxhash64 banding step remains rows-only, in
+    q_minhash_dedup_docs.)"""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.normalize import (
+        normalize,
+        tokenize,
+        word_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(tokenize(normalize("text")), 3)).alias("_g"),
+    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("_g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.when(union > 0, inter / union)
+    return (
+        _consecutive_doc_pairs(d)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            (jac >= 0.7).alias("is_dup"),
+        )
+    )
+
+
+def q_simhash_verify_docs(spark, sf_dir):
+    """VERIFY stage of the simhash family, hash-checked: Hamming distance
+    via bit_count(xor) + the <=3 duplicate decision on 60-bit md5-derived
+    signatures both engines compute identically. (The xxhash64 signature
+    itself stays rows-only in q_simhash_docs with a pytest equality proof.)"""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.normalize import normalize
+    from nlp_entity_linking_spark.functions.textstats import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", md5_long(normalize("text")).alias("_sig"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("_sig").alias("sa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("_sig").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        _consecutive_doc_pairs(d)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ham.cast("int").alias("hamming"),
+            (ham <= 3).alias("is_dup"),
+        )
+    )
+
+
+def q_rolling_fp_verify_docs(spark, sf_dir):
+    """Winnowing fingerprint selection math, hash-checked end-to-end on the
+    md5-twin (rolling_fingerprints_md5): same sliding windows, same
+    keep-if-hash%16==0 rule as the xxhash64 production sketch."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import rolling_fingerprints_md5
+
+    d = _t(spark, sf_dir, "documents")
+    kept = rolling_fingerprints_md5("text")
+    return d.select(
+        "doc_id",
+        F.size(kept).alias("n_fps"),
+        F.array_min(kept).alias("min_fp"),
+        F.array_max(kept).alias("max_fp"),
+    )
+
+
+def q_mentions_regex_docs(spark, sf_dir):
+    """C5 plain-text mention path: capitalized-run mentions via JVM
+    regexp_extract_all + explode (one row per mention). The synthetic docs
+    are all-lowercase, so the query first capitalizes tokens starting a-f
+    deterministically (same rule in the oracle) to plant realistic runs."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.extract import extract_mentions_text
+
+    d = _t(spark, sf_dir, "documents")
+    cap = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.when(
+                t.substr(1, 1).rlike("^[a-f]"),
+                F.concat(F.upper(t.substr(1, 1)), t.substr(F.lit(2), F.length(t))),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id", F.explode(extract_mentions_text(cap)).alias("mention")
+    )
+
+
+def q_grouping_sets_sql(spark, sf_dir):
+    """F6 proper GROUPING SETS via the SQL API (rollup/cube are the sugared
+    forms, oracle-green elsewhere)."""
+    _prep(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_neardup_rp_verify(spark, sf_dir):
+    """The FULL embedding near-dup pipeline (bucket -> pair -> exact-cosine
+    verify), hash-checked: random-hyperplane buckets in exact integer
+    arithmetic (quantized_rp_bucket — deterministic Rademacher planes, no
+    float sign hazard), so DuckDB reproduces block AND verify bit-for-bit.
+    The production path (numpy planes, q_neardup_embeddings_lsh) stays
+    rows-only; this proves the blocking/verify MACHINERY cross-engine."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.ann import cosine, quantized_rp_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        quantized_rp_bucket("embedding", n_planes=8).alias("_bkt"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("va"), "_bkt"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"), "_bkt"
+    )
+    cos6 = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(c, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos6.alias("cos6"))
+        .filter(F.col("cos6") >= 0.35)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -564,7 +751,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_jaccard_docs": q_token_jaccard_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "minhash_verify_docs": q_minhash_verify_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_verify_docs": q_simhash_verify_docs,
+        "rolling_fp_verify_docs": q_rolling_fp_verify_docs,
+        "mentions_regex_docs": q_mentions_regex_docs,
+        "grouping_sets_sql": q_grouping_sets_sql,
+        "neardup_rp_verify": q_neardup_rp_verify,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -761,6 +954,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
                         AS BIGINT) AS qty_f
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "minhash_verify_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS toks
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              list_distinct({_GRAMS3_SQL.format(t='toks')}) AS gr
+                       FROM t),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_filter(a.gr, x -> list_contains(b.gr, x)))
+                                AS inter,
+                              len(a.gr) + len(b.gr)
+                              - len(list_filter(a.gr, x -> list_contains(b.gr, x)))
+                                AS un
+                       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1)
+            SELECT id_a, id_b,
+                   CASE WHEN un > 0 THEN inter / un END AS jaccard,
+                   CASE WHEN un > 0 THEN (inter / un) >= 0.7 END AS is_dup
+            FROM p
+        """,
+        "simhash_verify_docs": f"""
+            WITH s AS (SELECT doc_id,
+                              {_MD5LONG_SQL.format(c=_NORM_SQL.format(c='text'))}
+                                AS sig
+                       FROM documents),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER)
+                                AS hamming
+                       FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+            SELECT id_a, id_b, hamming, hamming <= 3 AS is_dup FROM p
+        """,
+        "rolling_fp_verify_docs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS toks
+                       FROM documents),
+                 h AS (SELECT doc_id,
+                              list_filter(
+                                list_transform(
+                                  range(1, greatest(len(toks) - 7, 1) + 1),
+                                  i -> {_MD5LONG_SQL.format(
+                                      c="array_to_string(toks[i:i+7], ' ')")}),
+                                x -> x % 16 = 0) AS kept
+                       FROM t)
+            SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_fps,
+                   list_min(kept) AS min_fp, list_max(kept) AS max_fp
+            FROM h
+        """,
+        "mentions_regex_docs": """
+            WITH c AS (SELECT doc_id,
+                              array_to_string(list_transform(
+                                string_split(text, ' '),
+                                t -> CASE WHEN regexp_matches(t, '^[a-f]')
+                                          THEN upper(t[1:1]) || t[2:]
+                                          ELSE t END), ' ') AS cap
+                       FROM documents)
+            SELECT doc_id,
+                   unnest(regexp_extract_all(cap,
+                          '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS mention
+            FROM c
+        """,
+        "grouping_sets_sql": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "neardup_rp_verify": f"""
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x*1000, 0) AS BIGINT)) AS qv
+                       FROM embeddings),
+                 b AS (SELECT vec_id, v, {_rp_bucket_sql(8)} AS bkt FROM q)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, c.v), 6) AS cos6
+            FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+            WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
         """,
         "langid_docs": """
             WITH t AS (SELECT list_filter(string_split(trim(regexp_replace(

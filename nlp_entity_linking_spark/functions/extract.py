@@ -141,3 +141,12 @@ def mention_regex_spark() -> str:
     """Regex for capitalized-run mention extraction over plain text —
     SQL-expressible in both Spark and DuckDB (RE2-safe: no backrefs)."""
     return "[A-Z][a-z]+(?: [A-Z][a-z]+)+"
+
+
+def extract_mentions_text(text_col) -> F.Column:
+    """C5, plain-text path: multi-word capitalized runs as candidate entity
+    mentions — pure JVM regexp_extract_all (no Python crossing), the
+    structure-free complement to the html title/bold extractor above.
+    array<string>; explode for one row per mention."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(mention_regex_spark()), 0)

@@ -100,6 +100,30 @@ def fingerprint_md5(text_col) -> Column:
     return F.md5(normalize(text_col))
 
 
+def md5_long(col) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT. The cross-engine-exact
+    hash used by the oracle-checkable twins of the xxhash64 sketches —
+    DuckDB mirror: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def rolling_fingerprints_md5(
+    text_col, window: int = 8, keep_every: int = 16
+) -> Column:
+    """Oracle-checkable twin of `rolling_fingerprints`: identical winnowing
+    selection math (sliding token windows, keep hash % keep_every == 0) over
+    md5-derived 60-bit hashes instead of xxhash64 — md5 has an exact DuckDB
+    mirror, so the whole sketch is value-hash-checkable cross-engine.
+    Production uses the (faster, JVM-native) xxhash64 form."""
+    toks = tokenize(normalize(text_col))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
+        lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
+
+
 def rolling_fingerprints(text_col, window: int = 8, keep_every: int = 16) -> Column:
     """Winnowing-style rolling fingerprints (Schleimer et al. '03 shape):
     xxhash64 over sliding token windows, kept when hash % keep_every == 0 —

@@ -134,6 +134,50 @@ def rp_buckets(
     )
 
 
+def quantized_rp_bucket(vec_col, n_planes: int = 8) -> Column:
+    """Oracle-checkable twin of `rp_signatures`: random-hyperplane bucketing
+    in EXACT INTEGER arithmetic, cross-engine reproducible bit-for-bit.
+
+    Vectors are quantized to round(x*1000) longs; plane components are
+    Rademacher signs from a fixed LCG of (plane, dim) — so the projection is
+    a pure int sum whose sign DuckDB computes identically (no float
+    accumulation-order hazard at the sign boundary). HOF-interpreted, meant
+    for oracle/verification use; the production scale path is the
+    numpy-backed `rp_signatures`."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    qv = F.transform(v, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # sign(p, d) = 1 - 2 * bit16(LCG(d + 64p)) — deterministic +-1
+        signs = F.transform(
+            F.sequence(F.lit(1), F.size(qv)),
+            lambda d: (
+                F.lit(1).cast("long")
+                - F.lit(2).cast("long")
+                * F.shiftright(
+                    F.pmod(
+                        F.lit(1103515245).cast("long")
+                        * (d.cast("long") + F.lit(64 * p).cast("long"))
+                        + F.lit(12345).cast("long"),
+                        F.lit(2147483648).cast("long"),
+                    ),
+                    16,
+                ).bitwiseAND(F.lit(1).cast("long"))
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(qv, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

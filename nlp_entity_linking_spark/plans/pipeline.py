@@ -62,13 +62,21 @@ def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def build_features(
-    records: DataFrame, pairs: DataFrame, cfg: PipelineConfig
+    records: DataFrame,
+    pairs: DataFrame,
+    cfg: PipelineConfig,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """pairs + (norm_a, norm_b, tsl, cos) — everything here is JVM-side.
 
     tsl compares the normalized surface token sets; cos compares the page
     *context* (full extracted text) under TF-IDF — the disambiguator for
     near-identical names.
+
+    cache_registry: long-running callers (streaming foreachBatch) pass a
+    list to collect the internally persisted frames and unpersist them after
+    materializing downstream results — otherwise cached TF-IDF weights
+    accumulate per micro-batch and erode executor storage memory.
     """
     thin = records.select("record_id", "norm", "tokens")
     a = thin.select(
@@ -88,6 +96,8 @@ def build_features(
     )
     # persist: pair_cosine reads weights for a count and two joins
     weights = S.tfidf_weights(records, "ctx_tokens").persist()
+    if cache_registry is not None:
+        cache_registry.append(weights)
     feat = S.pair_cosine(feat, weights)
     return feat.select(
         "id_a", "id_b", "block_key", "norm_a", "norm_b", "tsl", "cos"

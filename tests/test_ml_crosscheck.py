@@ -50,6 +50,49 @@ def _our_pairs(spark):
     return {(r.id_a, r.id_b) for r in B.pairs_from_blocks(blocks).collect()}
 
 
+def test_tfidf_cosine_agrees_with_sparkml(spark):
+    """SURVEY.md I3 cross-check: the from-scratch sparse TF-IDF cosine
+    (tfidf_weights + pair_cosine) must agree with pyspark.ml's
+    CountVectorizer + IDF (the collision-free form of HashingTF+IDF; both
+    use the same smooth idf = ln((N+1)/(df+1))) to float tolerance."""
+    import numpy as np
+    from pyspark.ml.feature import CountVectorizer, IDF
+
+    from nlp_entity_linking_spark.functions.similarity import (
+        pair_cosine,
+        tfidf_weights,
+    )
+
+    rows = [
+        (0, ["spark", "query", "engine", "distributed", "join"]),
+        (1, ["spark", "query", "planner", "distributed", "shuffle"]),
+        (2, ["piano", "concert", "orchestra", "violin"]),
+        (3, ["piano", "concert", "symphony", "violin", "cello"]),
+        (4, ["unrelated", "zebra", "words", "entirely"]),
+    ]
+    records = spark.createDataFrame(rows, "record_id long, tokens array<string>")
+    pair_rows = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+
+    ours = {
+        (r.id_a, r.id_b): r.cos
+        for r in pair_cosine(pairs, tfidf_weights(records, "tokens")).collect()
+    }
+
+    cv = CountVectorizer(inputCol="tokens", outputCol="rawtf").fit(records)
+    tf = cv.transform(records)
+    idf = IDF(inputCol="rawtf", outputCol="vec").fit(tf)
+    vecs = {r.record_id: r.vec.toArray() for r in idf.transform(tf).collect()}
+    for (a, b), got in ours.items():
+        va, vb = vecs[a], vecs[b]
+        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+        want = float(va @ vb / (na * nb)) if na and nb else 0.0
+        assert abs(got - want) < 1e-9, ((a, b), got, want)
+    # sanity: related pairs score high, unrelated ~0
+    assert ours[(0, 1)] > 0.2 and ours[(2, 3)] > 0.2
+    assert ours[(0, 4)] == 0.0
+
+
 def test_from_scratch_lsh_agrees_with_sparkml(spark):
     expected = {(0, 1), (0, 2), (1, 2), (3, 4)}
     ours = _our_pairs(spark)

@@ -89,12 +89,65 @@ def test_session_windows_stream(spark, tmp_path):
 
 
 def test_incremental_er_foreach_batch(spark, tmp_path):
-    path, _ = _write_pages(spark, tmp_path, 200)
+    """Incremental blocking: >=2 micro-batches, per-batch scored pairs are
+    only the pairs TOUCHING that batch's new records (never a full corpus
+    re-score), and the final clusters equal the batch pipeline's (with
+    use_snb=False — SNB is global-order and not run incrementally)."""
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    from nlp_entity_linking_spark.functions.similarity import ScoreModel
+
+    pages, _ = gen_pages(spark, 200)
+    path = str(tmp_path / "pages_in")
+    # 16 files + maxFilesPerTrigger=8 -> exactly 2 micro-batches
+    pages.repartition(16).write.mode("overwrite").parquet(path)
     out = str(tmp_path / "cat")
-    q = ST.incremental_er(spark, ST.read_pages_stream(spark, path), out, "s1")
+    # pair-local model (zero cosine weight): TF-IDF weights depend on the
+    # epoch-visible corpus, so corpus-dependent scores drift by design
+    # (bounded staleness); exact batch equality is only well-defined for
+    # pair-local features.
+    cfg0 = None
+    from nlp_entity_linking_spark.plans import pipeline as P0
+
+    cfg0 = P0.PipelineConfig(
+        use_snb=False, model=ScoreModel(weights=(2.0, 8.0, 0.0), bias=-6.0)
+    )
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out, "s1", cfg=cfg0
+    )
     q.awaitTermination(300)
     cat = Catalog(out, "s1")
-    assert cat.is_committed("records") and cat.is_committed("clusters")
+    assert cat.is_committed("epoch") and cat.is_committed("clusters")
+
+    records = ST.read_er_records(spark, out, "s1")
     clusters = cat.read(spark, "clusters")
-    records = cat.read(spark, "records")
     assert clusters.count() == records.count() == 200
+
+    # batch-pipeline ground truth at the same config (no SNB)
+    cfg = cfg0
+    brecords = P.build_records(pages, cfg).persist()
+    bpairs = P.build_candidate_pairs(brecords, cfg).persist()
+    full_pairs = bpairs.count()
+
+    epochs = cat.committed_meta("epoch")["epochs"]
+    assert len(epochs) >= 2, epochs
+    stats = [cat.committed_meta(f"epoch_stats_{e}") for e in epochs]
+    per_epoch = [s["n_pairs_scored"] for s in stats]
+    # bounded per-batch work: no epoch re-scores the whole corpus, and the
+    # epochs together score each candidate pair exactly once
+    assert all(p < full_pairs for p in per_epoch), (per_epoch, full_pairs)
+    assert sum(per_epoch) == full_pairs, (per_epoch, full_pairs)
+
+    # identical final clusters vs the batch pipeline
+    feats = P.build_features(brecords, bpairs, cfg)
+    from nlp_entity_linking_spark.functions import similarity as S
+
+    edges = (
+        S.score_pairs(feats, cfg.model)
+        .filter(F.col("score") >= cfg.score_threshold)
+        .select("id_a", "id_b")
+    )
+    bclusters = P.cluster(brecords, edges, cfg)
+    got = {(r.record_id, r.cluster_id) for r in clusters.collect()}
+    want = {(r.record_id, r.cluster_id) for r in bclusters.collect()}
+    assert got == want
