@@ -475,6 +475,59 @@ def q_neardup_rp_verify(spark, sf_dir):
     )
 
 
+def q_string_funcs_parts(spark, sf_dir):
+    """C6 breadth: the string built-in surface (upper/lower/substring/
+    replace/lpad/concat_ws/length/reverse) — all JVM codegen, all
+    DuckDB-mirrorable."""
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.substring("p_name", 3, 8).alias("sub"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.lpad(F.col("p_brand"), 12, "#").alias("pad"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cat"),
+        F.length("p_name").alias("len"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+    )
+
+
+def q_union_docs(spark, sf_dir):
+    """H4 breadth: UNION ALL + distinct over two overlapping doc slices."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 300).select("doc_id", "lang")
+    b = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).select(
+        "doc_id", "lang"
+    )
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_ntile_orders(spark, sf_dir):
+    """G2 breadth: ntile quartiles by order value within market segment —
+    exact (integer) window output both engines compute identically."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("q", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "q")
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_order"))
+    )
+
+
 def q_quality_docs(spark, sf_dir):
     """Text analysis: quality features (int counts + exact int-ratio doubles)."""
     _prep(spark)
@@ -758,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_regex_docs": q_mentions_regex_docs,
         "grouping_sets_sql": q_grouping_sets_sql,
         "neardup_rp_verify": q_neardup_rp_verify,
+        "string_funcs_parts": q_string_funcs_parts,
+        "union_docs": q_union_docs,
+        "ntile_orders": q_ntile_orders,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -1030,6 +1086,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, c.v), 6) AS cos6
             FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
             WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+        """,
+        "string_funcs_parts": """
+            SELECT p_partkey,
+                   upper(p_name) AS u,
+                   substr(p_name, 3, 8) AS sub,
+                   replace(p_name, ' ', '_') AS repl,
+                   lpad(p_brand, 12, '#') AS pad,
+                   concat_ws('|', p_brand, p_type) AS cat,
+                   CAST(length(p_name) AS INTEGER) AS len,
+                   reverse(p_brand) AS rev
+            FROM part
+        """,
+        "union_docs": """
+            SELECT lang, count(*) AS n FROM (
+              SELECT DISTINCT doc_id, lang FROM (
+                SELECT doc_id, lang FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT doc_id, lang FROM documents
+                WHERE doc_id >= 200 AND doc_id < 400))
+            GROUP BY lang
+        """,
+        "ntile_orders": """
+            SELECT c_mktsegment, q, count(*) AS n,
+                   min(o_orderkey) AS min_order
+            FROM (
+              SELECT c_mktsegment, o_orderkey,
+                     ntile(4) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS q
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            GROUP BY c_mktsegment, q
         """,
         "langid_docs": """
             WITH t AS (SELECT list_filter(string_split(trim(regexp_replace(

@@ -124,13 +124,22 @@ def tfidf_weights(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     smooth tf-idf weights: idf = ln((N+1)/(df+1)) — ubiquitous tokens
     (df≈N) get ~0 weight, which matters for short contexts.
 
-    Shuffle anatomy: explode -> groupBy(record_id, token) [tf] ->
+    `token` is the xxhash64 SURROGATE of the token string, not the string:
+    every downstream exchange ((record_id, token) tf groupBy, the df agg,
+    and pair_cosine's two (id, token) equi-joins) shuffles a fixed 8-byte
+    key instead of variable-length text. A 64-bit collision merges two
+    tokens' df/weights — negligible against vocabulary sizes, and the cosine
+    stays exact in the no-collision case (cross-checked vs pyspark.ml in
+    tests/test_ml_crosscheck.py).
+
+    Shuffle anatomy: explode+hash -> groupBy(record_id, token) [tf] ->
     groupBy(token) [df, map-side combined] -> broadcast-join idf back ->
     window-free norm via groupBy(record_id) + rejoin.
     """
     n_docs = records.count()
     tf = (
-        records.select("record_id", F.explode(tokens_col).alias("token"))
+        records.select("record_id", F.explode(tokens_col).alias("_ts"))
+        .select("record_id", F.xxhash64("_ts").alias("token"))
         .groupBy("record_id", "token")
         .agg(F.count("*").alias("tf"))
     )

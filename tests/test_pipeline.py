@@ -49,6 +49,19 @@ def test_end_to_end_f1(spark):
     assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0
 
 
+def test_extract_order_equivalence(spark):
+    """extract-first and dedup-first must produce byte-identical records
+    (same latest-per-url pick incl. the xxhash64(html) tie-break, same
+    null-html drops)."""
+    from nlp_entity_linking_spark.operators.records import extract_records
+
+    pages, _ = gen_pages(spark, 300)
+    a = extract_records(pages, extract_first=True)
+    b = extract_records(pages, extract_first=False)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_record_id_collision_audit(spark):
     from nlp_entity_linking_spark.operators.records import audit_record_ids
 

@@ -88,6 +88,32 @@ def test_session_windows_stream(spark, tmp_path):
     assert rows and all(r.n_events >= 1 for r in rows)
 
 
+def test_incremental_er_resumes_across_restarts(spark, tmp_path):
+    """ST6 resume: after a completed run, new files arrive and a NEW query
+    starts from the same checkpoint — it processes only the new wave
+    (epoch tables append; committed state survives the restart)."""
+    pages, _ = gen_pages(spark, 200)
+    path = str(tmp_path / "pages_in")
+    w1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    w2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    w1.repartition(4).write.mode("append").parquet(path)
+    out = str(tmp_path / "cat")
+    q = ST.incremental_er(spark, ST.read_pages_stream(spark, path), out, "s2")
+    q.awaitTermination(300)
+    cat = Catalog(out, "s2")
+    n1 = ST.read_er_records(spark, out, "s2").count()
+    assert n1 == w1.select("url").distinct().count()
+    epochs1 = cat.committed_meta("epoch")["epochs"]
+
+    w2.repartition(4).write.mode("append").parquet(path)
+    q2 = ST.incremental_er(spark, ST.read_pages_stream(spark, path), out, "s2")
+    q2.awaitTermination(300)
+    assert ST.read_er_records(spark, out, "s2").count() == 200
+    epochs2 = cat.committed_meta("epoch")["epochs"]
+    assert len(epochs2) > len(epochs1) and epochs2[: len(epochs1)] == epochs1
+    assert cat.read(spark, "clusters").count() == 200
+
+
 def test_incremental_er_foreach_batch(spark, tmp_path):
     """Incremental blocking: >=2 micro-batches, per-batch scored pairs are
     only the pairs TOUCHING that batch's new records (never a full corpus
