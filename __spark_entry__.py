@@ -528,6 +528,34 @@ def q_ntile_orders(spark, sf_dir):
     )
 
 
+def q_median_qty(spark, sf_dir):
+    """F7 breadth: exact median + interpolated percentile — integer-valued
+    inputs make the type-7 linear interpolation bit-exact cross-engine."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_datetime_parts(spark, sf_dir):
+    """C6/G breadth: calendar extraction (year/dow/hour/dayofyear). Spark
+    dayofweek is 1=Sunday; the DuckDB oracle shifts its 0=Sunday by +1."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hr"),
+            F.dayofyear("ts").alias("doy"),
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count("*").alias("n"), F.max("doy").alias("max_doy"))
+    )
+
+
 def q_quality_docs(spark, sf_dir):
     """Text analysis: quality features (int counts + exact int-ratio doubles)."""
     _prep(spark)
@@ -814,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_parts": q_string_funcs_parts,
         "union_docs": q_union_docs,
         "ntile_orders": q_ntile_orders,
+        "median_qty": q_median_qty,
+        "datetime_parts": q_datetime_parts,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -1116,6 +1146,19 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY o_totalprice DESC, o_orderkey) AS q
               FROM orders JOIN customer ON o_custkey = c_custkey)
             GROUP BY c_mktsegment, q
+        """,
+        "median_qty": """
+            SELECT l_returnflag,
+                   median(l_quantity) AS med_qty,
+                   quantile_cont(l_quantity, 0.25) AS p25_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "datetime_parts": """
+            SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+                   count(*) AS n,
+                   CAST(max(dayofyear(ts)) AS INTEGER) AS max_doy
+            FROM events GROUP BY 1, 2
         """,
         "langid_docs": """
             WITH t AS (SELECT list_filter(string_split(trim(regexp_replace(

@@ -31,8 +31,13 @@ def read_pages_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def dedup_pages_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -81,6 +86,59 @@ def session_windows(
             "user_id",
             "n_events",
         )
+    )
+
+
+def stateful_running_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """ST6 variant — CUSTOM stateful streaming operator via
+    applyInPandasWithState (the arbitrary-state API, vs the declarative
+    dropDuplicates/window state elsewhere): per-key running event count and
+    value total carried across micro-batches in explicit GroupState; each
+    batch a key appears in emits one updated row stamped with `update_idx`
+    (how many batches have touched the key — the cross-batch state proof).
+
+    Scale shape: state is per-key O(1) (three scalars), partitioned by the
+    grouping key exactly like any streaming aggregate; Arrow-batched pandas
+    on both sides of the state boundary.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("update_idx", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("upd", T.IntegerType()),
+        ]
+    )
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        n, total, upd = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        upd += 1
+        state.update((n, total, upd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "update_idx": [upd],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

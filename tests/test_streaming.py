@@ -88,6 +88,50 @@ def test_session_windows_stream(spark, tmp_path):
     assert rows and all(r.n_events >= 1 for r in rows)
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state survives across micro-batches —
+    final per-user totals equal the batch aggregate, and users spanning
+    multiple batches show update_idx >= 2."""
+    src = str(tmp_path / "events_state")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    # 16 files + maxFilesPerTrigger=8 -> 2 micro-batches
+    batch.repartition(16).write.mode("overwrite").parquet(src)
+    events = ST.read_events_stream(spark, src, max_files_per_trigger=8).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    q = (
+        ST.stateful_running_totals(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql(
+        """SELECT user_id, n_events, total_value, update_idx FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY update_idx DESC) AS rn
+             FROM running_totals) WHERE rn = 1"""
+    )
+    got = {r.user_id: (r.n_events, r.total_value, r.update_idx) for r in out.collect()}
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, total, _upd) in got.items():
+        assert n == want[u][0]
+        assert abs(total - want[u][1]) < 1e-6
+    # cross-batch state: at least one user appears in both micro-batches
+    assert any(upd >= 2 for _, _, upd in got.values())
+
+
 def test_incremental_er_resumes_across_restarts(spark, tmp_path):
     """ST6 resume: after a completed run, new files arrive and a NEW query
     starts from the same checkpoint — it processes only the new wave
