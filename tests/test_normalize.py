@@ -44,3 +44,62 @@ def test_word_ngrams(spark):
     assert got == ["a b", "b c"]
     df1 = spark.createDataFrame([(["a"],)], "t array<string>")
     assert df1.select(word_ngrams("t", 2).alias("g")).collect()[0].g == ["a"]
+
+
+def test_normalize_properties_random_corpus(spark):
+    """Seeded randomized property sweep, vectorized in one pass:
+    normalize is idempotent; tokens of a normalized string are nonempty and
+    alphanumeric; word_ngrams emits exactly max(len-n+1, 0<len -> 1, 0 -> 0)
+    grams; token_set_lev is symmetric and in [0, 1]."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nlp_entity_linking_spark.functions.normalize import (
+        normalize,
+        tokenize,
+        word_ngrams,
+    )
+    from nlp_entity_linking_spark.functions.similarity import token_set_lev
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ 123 éñü .,!?-_()# \t%$"
+    rows = [
+        (
+            i,
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "i long, s string, t string")
+    n = normalize("s")
+    toks = tokenize(n)
+    checks = df.select(
+        (normalize(n) == n).alias("idem"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("^[a-z0-9]+$")))
+            == F.size(toks)
+        ).alias("toks_clean"),
+        (
+            F.size(word_ngrams(toks, 3))
+            == F.when(F.size(toks) == 0, 0)
+            .when(F.size(toks) < 3, 1)
+            .otherwise(F.size(toks) - 2)
+        ).alias("gram_count"),
+        (
+            F.round(token_set_lev(toks, tokenize(normalize("t"))), 9)
+            == F.round(token_set_lev(tokenize(normalize("t")), toks), 9)
+        ).alias("tsl_sym"),
+        token_set_lev(toks, tokenize(normalize("t"))).between(0.0, 1.0).alias(
+            "tsl_range"
+        ),
+    )
+    bad = checks.filter(
+        ~F.col("idem")
+        | ~F.col("toks_clean")
+        | ~F.col("gram_count")
+        | ~F.col("tsl_sym")
+        | ~F.col("tsl_range")
+    ).count()
+    assert bad == 0

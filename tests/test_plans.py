@@ -57,6 +57,45 @@ def test_whole_stage_codegen_covers_normalize(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
 
 
+def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
+    """North-rule bucketing claim made concrete: two tables bucketed on the
+    same key and bucket count join WITHOUT a shuffle — the plan has no
+    Exchange above either scan. This is the co-located-join layout the
+    catalog tables would use at the 10^12 tier (Iceberg bucket transform)."""
+    wh = str(tmp_path / "wh")  # external-table paths; warehouse conf is static
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+        "path", f"{wh}/orders_b"
+    ).saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+        "path", f"{wh}/customer_b"
+    ).saveAsTable("customer_b")
+    try:
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy("c_mktsegment").count()
+        # disable broadcast so the join strategy decision is about
+        # co-location, not table size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(j)
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in join_part, plan
+        # the equivalent non-bucketed join DOES shuffle both sides
+        j2 = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+        assert "Exchange hashpartitioning" in _plan(j2)
+        # and the answers agree
+        a = {r.c_mktsegment: r["count"] for r in j.collect()}
+        b = {r.c_mktsegment: r["count"] for r in j2.collect()}
+        assert a == b
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
 def test_html_binary_pruned_after_extraction(spark):
     """The binary html column must not survive past the extraction project
     (SURVEY.md §4.1 column pruning — never shuffle the blobs)."""
