@@ -251,6 +251,46 @@ _GRAMS3_SQL = (
 _MD5LONG_SQL = "CAST('0x' || substr(md5({c}), 1, 15) AS BIGINT)"
 
 
+def _minhash_md5_sql(k: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of q_minhash_md5_pipeline: full minhash-LSH on
+    md5-derived 60-bit hashes (signatures, band keys, pairs, Jaccard)."""
+    r = k // bands
+
+    def md5l(x: str) -> str:
+        return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+    sig_exprs = ",\n                 ".join(
+        f"list_min(list_transform(sh, s -> {md5l(f'concat({i}, chr(58), s)')}))"
+        f" AS s{i}"
+        for i in range(k)
+    )
+    band_exprs = ", ".join(
+        md5l("concat_ws(',', " + ", ".join(f"s{b * r + j}" for j in range(r)) + ")")
+        for b in range(bands)
+    )
+    toks = _TOKS_SQL.format(c="text")
+    grams = _GRAMS3_SQL.format(t="toks")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+             g AS (SELECT doc_id, list_distinct({grams}) AS sh FROM t
+                   WHERE len(list_distinct({grams})) > 0),
+             s AS (SELECT doc_id, sh,
+                 {sig_exprs}
+                   FROM g),
+             bl AS (SELECT doc_id, sh, unnest([{band_exprs}]) AS bkey FROM s),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                            AS inter,
+                          len(a.sh) + len(b.sh)
+                          - len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                            AS un
+                   FROM bl a JOIN bl b
+                     ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+             q AS (SELECT DISTINCT id_a, id_b, inter / un AS jaccard FROM p)
+        SELECT id_a, id_b, jaccard, jaccard >= 0.5 AS is_dup FROM q
+    """
+
+
 def _rp_bucket_sql(n_planes: int = 8) -> str:
     """DuckDB mirror of operators.ann.quantized_rp_bucket over a quantized
     BIGINT vector column `qv`: same LCG-derived Rademacher signs, same exact
@@ -356,6 +396,63 @@ def q_minhash_verify_docs(spark, sf_dir):
             jac.alias("jaccard"),
             (jac >= 0.7).alias("is_dup"),
         )
+    )
+
+
+def q_minhash_md5_pipeline(spark, sf_dir):
+    """The ENTIRE minhash-LSH near-dup pipeline hash-checked cross-engine:
+    k=16 minhash signatures over distinct word-3-gram shingles, 4-band LSH
+    keys, within-band candidate pairs, exact-Jaccard verify — all on
+    md5-derived 60-bit hashes DuckDB computes bit-identically. The xxhash64
+    production variant (operators/dedup.minhash_dedup) keeps its rows-only
+    row; this twin proves the MACHINERY end to end."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.normalize import (
+        normalize,
+        tokenize,
+        word_ngrams,
+    )
+    from nlp_entity_linking_spark.functions.textstats import md5_long
+
+    k, bands = 16, 4
+    r = k // bands
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(tokenize(normalize("text")), 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: md5_long(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    s = g.select("doc_id", "sh", *sig_cols)
+    band_cols = [
+        md5_long(
+            F.concat_ws(
+                ",", *[F.col(f"_s{b * r + j}").cast("string") for j in range(r)]
+            )
+        )
+        for b in range(bands)
+    ]
+    blocks = s.select(
+        "doc_id", "sh", F.explode(F.array(*band_cols)).alias("bkey")
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"), "bkey"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"), "bkey"
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("is_dup", F.col("jaccard") >= 0.5)
     )
 
 
@@ -833,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_docs": q_token_jaccard_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "minhash_verify_docs": q_minhash_verify_docs,
+        "minhash_md5_pipeline": q_minhash_md5_pipeline,
         "simhash_docs": q_simhash_docs,
         "simhash_verify_docs": q_simhash_verify_docs,
         "rolling_fp_verify_docs": q_rolling_fp_verify_docs,
@@ -1059,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN un > 0 THEN (inter / un) >= 0.7 END AS is_dup
             FROM p
         """,
+        "minhash_md5_pipeline": _minhash_md5_sql(16, 4),
         "simhash_verify_docs": f"""
             WITH s AS (SELECT doc_id,
                               {_MD5LONG_SQL.format(c=_NORM_SQL.format(c='text'))}

@@ -96,6 +96,29 @@ def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_pipeline_plans_have_no_scale_killers(spark):
+    """Every ER stage plan must be free of the two patterns that cannot
+    survive a 100x scale-up: CartesianProduct (unbounded pair blowup) and
+    Exchange SinglePartition (a global funnel through one task). Guards the
+    D3 rank path especially — a naive global window would show up here."""
+    from nlp_entity_linking_spark.functions import similarity as S
+    from nlp_entity_linking_spark.plans import pipeline as P
+    from nlp_entity_linking_spark.sources.synthetic import gen_pages
+
+    pages, _ = gen_pages(spark, 150)
+    cfg = P.PipelineConfig()
+    records = P.build_records(pages, cfg).persist()
+    records.count()
+    pairs = P.build_candidate_pairs(records, cfg)
+    feats = P.build_features(records, pairs, cfg)
+    scored = S.score_pairs(feats, cfg.model)
+    for name, df in (("records", records), ("pairs", pairs),
+                     ("features", feats), ("scored", scored)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_html_binary_pruned_after_extraction(spark):
     """The binary html column must not survive past the extraction project
     (SURVEY.md §4.1 column pruning — never shuffle the blobs)."""
