@@ -56,6 +56,18 @@ def main() -> None:
     cfg = P.PipelineConfig()
     pages, _gold = gen_pages(spark, n_pages)
 
+    # Warm the Python worker pool before anything is timed: daemon workers
+    # pay imports + numpy JIT on their first Arrow batch (memory: first
+    # passes run 2-4x slow), and prod executors are warm. One tiny
+    # mapInPandas pass touches every core's worker.
+    warm = spark.range(0, 4 * int(cpus)).select(
+        F.lit("warm up the workers").alias("norm_a"),
+        F.lit("warm up the worker pool").alias("norm_b"),
+        F.lit(0.5).alias("tsl"),
+        F.lit(0.5).alias("cos"),
+    ).repartition(2 * int(cpus))
+    S.score_pairs(warm, cfg.model, n_partitions=2 * int(cpus)).count()
+
     # each stage persisted + counted INSIDE its timer so the per-stage
     # numbers attribute real work, not lazy plan construction
     records = P.build_records(pages, cfg).persist()
