@@ -225,6 +225,93 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF-Flat approximate top-k (the coarse-quantizer inverted-list
+    design, Jegou et al. '11 — public knowledge): a seeded pyspark.ml
+    KMeans over L2-normalized vectors partitions the corpus into n_cells
+    inverted lists; each query probes its n_probe nearest centroids and
+    exact cosine runs only over those cells' members.
+
+    Scale shape: centroids are tiny (n_cells x dim) and ride to workers as
+    a numpy closure in ONE Arrow UDF pass per side; corpus scanned once for
+    assignment; the probe is an equi-join on cell id, so candidates per
+    query ~ (n_probe/n_cells) x |corpus|. Recall dial: n_probe. The
+    LSH-bucketed path (lsh_topk) is the hash-based alternative; IVF adapts
+    to the data distribution where LSH is oblivious."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # spherical-ish k-means: normalize so L2 centroids track cosine cells
+    def _norm_expr(c):
+        n = F.sqrt(dot(c, c))
+        return F.transform(c, lambda x: x.cast("double") / n)
+
+    train = corpus.select(
+        array_to_vector(_norm_expr(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    centers = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+
+    def cell_udf(top: int):
+        @F.pandas_udf("array<int>")
+        def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs in batches:
+                if len(vecs) == 0:
+                    yield pd.Series([], dtype=object)
+                    continue
+                v = np.stack(vecs.to_numpy()).astype(np.float64)
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                sims = v @ centers.T  # (n, n_cells)
+                idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+                yield pd.Series(list(idx))
+
+        return cells
+
+    c_cells = corpus.select(
+        F.col(id_col),
+        F.element_at(cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(query_id_col),
+        F.explode(cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    sims = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

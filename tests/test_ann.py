@@ -112,6 +112,30 @@ def test_rp_signatures_deterministic_across_partitionings(spark):
     assert one == many and len(one) == 100
 
 
+def test_ivf_topk_recall_and_bounded_candidates(spark):
+    """IVF-Flat: recall vs brute force on a clustered corpus, with the
+    probe bounding candidates to ~n_probe/n_cells of the corpus."""
+    rng = np.random.RandomState(5)
+    centers = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.05 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    exact = ann.brute_force_topk(corpus, queries, k=5).collect()
+    approx = ann.ivf_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=6, seed=7
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, recall
+    assert {(i, i) for i in range(8)} <= approx_set  # self found
+
+
 def test_cosine_neardup_pairs(spark):
     rng = np.random.RandomState(1)
     base = rng.randn(40, 16).astype(np.float32)
