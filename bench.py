@@ -76,7 +76,11 @@ def main() -> None:
     pairs = P.build_candidate_pairs(records, cfg).persist()
     extras["n_candidate_pairs"] = timed("er_blocking_pairs", pairs.count)
 
-    feats = P.build_features(records, pairs, cfg).persist()
+    # pin the cached partitioning to the Python-worker pool width: AQE can
+    # coalesce feats to a handful of partitions, which would force
+    # score_pairs to re-shuffle the whole table inside ITS timer (observed
+    # as 7.8s-vs-45s er_score swings across otherwise identical runs)
+    feats = P.build_features(records, pairs, cfg).repartition(2 * int(cpus)).persist()
     timed("er_features", feats.count)
 
     scored = S.score_pairs(feats, cfg.model).persist()

@@ -78,6 +78,15 @@ def build_features(
     materializing downstream results — otherwise cached TF-IDF weights
     accumulate per micro-batch and erode executor storage memory.
     """
+    # ORDER MATTERS for shuffle bytes: run the TF-IDF cosine join while the
+    # pair rows are THIN (ids + block_key only) — its (id_a, id_b) exchange
+    # then moves 3 longs/row instead of two token arrays + surfaces — and
+    # attach the per-record surfaces/tokens afterwards (those joins shuffle
+    # the thin records table, same cost either way).
+    weights = S.tfidf_weights(records, "ctx_tokens").persist()
+    if cache_registry is not None:
+        cache_registry.append(weights)
+    cosed = S.pair_cosine(pairs.select("id_a", "id_b", "block_key"), weights)
     thin = records.select("record_id", "norm", "tokens")
     a = thin.select(
         F.col("record_id").alias("id_a"),
@@ -90,15 +99,10 @@ def build_features(
         F.col("tokens").alias("tokens_b"),
     )
     feat = (
-        pairs.join(a, "id_a")
+        cosed.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("tsl", S.token_set_lev("tokens_a", "tokens_b"))
     )
-    # persist: pair_cosine reads weights for a count and two joins
-    weights = S.tfidf_weights(records, "ctx_tokens").persist()
-    if cache_registry is not None:
-        cache_registry.append(weights)
-    feat = S.pair_cosine(feat, weights)
     return feat.select(
         "id_a", "id_b", "block_key", "norm_a", "norm_b", "tsl", "cos"
     )
