@@ -625,6 +625,19 @@ def q_ntile_orders(spark, sf_dir):
     )
 
 
+def q_unpivot_lineitem(spark, sf_dir):
+    """Pivot's inverse: wide per-returnflag quantity/price sums -> long
+    (metric, val) rows via DataFrame unpivot (SQL UNPIVOT in the oracle)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("long").alias("qty"),
+        F.count("*").alias("rows"),
+        F.countDistinct("l_orderkey").alias("orders"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "rows", "orders"], "metric", "val")
+
+
 def q_median_qty(spark, sf_dir):
     """F7 breadth: exact median + interpolated percentile — integer-valued
     inputs make the type-7 linear interpolation bit-exact cross-engine."""
@@ -942,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_orders": q_ntile_orders,
         "median_qty": q_median_qty,
         "datetime_parts": q_datetime_parts,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -1245,6 +1259,15 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY o_totalprice DESC, o_orderkey) AS q
               FROM orders JOIN customer ON o_custkey = c_custkey)
             GROUP BY c_mktsegment, q
+        """,
+        "unpivot_lineitem": """
+            SELECT l_returnflag, metric, val FROM (
+              SELECT l_returnflag,
+                     CAST(sum(l_quantity) AS BIGINT) AS qty,
+                     count(*) AS rows,
+                     count(DISTINCT l_orderkey) AS orders
+              FROM lineitem GROUP BY l_returnflag)
+            UNPIVOT (val FOR metric IN (qty, rows, orders))
         """,
         "median_qty": """
             SELECT l_returnflag,

@@ -58,6 +58,51 @@ def f1_metrics(labeled_pairs: DataFrame, clusters: DataFrame) -> dict:
     }
 
 
+def blocking_quality(
+    candidate_pairs: DataFrame,
+    records_with_gold: DataFrame,
+) -> dict:
+    """Blocking-stage diagnostics (standard record-linkage metrics —
+    Christen, Data Matching '12, public knowledge):
+
+    * pairs_completeness — fraction of TRUE matched pairs that survive into
+      the candidate set (the blocker's recall ceiling: no scorer can find a
+      match the blocker dropped);
+    * reduction_ratio — 1 - |candidates| / C(n, 2): how much of the
+      quadratic surface the blocker eliminated;
+    * pair_quality — fraction of candidates that are true matches (the
+      blocker's precision; drives scoring cost per found match).
+
+    All three from thin joins + counts; gold = (record_id, entity_id).
+    """
+    g = records_with_gold.select("record_id", "entity_id")
+    n = g.count()
+    n_cand = candidate_pairs.select("id_a", "id_b").distinct().count()
+    # true pairs: same-entity record pairs (id_a < id_b); entity group
+    # sizes are small, so the self-join per entity is bounded
+    a = g.select(F.col("record_id").alias("id_a"), "entity_id")
+    b = g.select(F.col("record_id").alias("id_b"), "entity_id")
+    true_pairs = (
+        a.join(b, "entity_id").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    ).persist()
+    n_true = true_pairs.count()
+    n_found = candidate_pairs.select("id_a", "id_b").join(
+        true_pairs, ["id_a", "id_b"], "left_semi"
+    ).count()
+    true_pairs.unpersist()
+    total = n * (n - 1) / 2
+    return {
+        "n_records": n,
+        "n_candidates": n_cand,
+        "n_true_pairs": n_true,
+        "n_true_found": n_found,
+        "pairs_completeness": n_found / n_true if n_true else 1.0,
+        "reduction_ratio": 1.0 - n_cand / total if total else 0.0,
+        "pair_quality": n_found / n_cand if n_cand else 0.0,
+    }
+
+
 def gen_labeled_pairs(
     candidate_pairs: DataFrame,
     records_with_gold: DataFrame,

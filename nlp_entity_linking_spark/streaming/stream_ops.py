@@ -89,6 +89,34 @@ def session_windows(
     )
 
 
+def join_event_streams(
+    purchases: DataFrame,
+    errors: DataFrame,
+    watermark: str = "1 hour",
+    bound: str = "30 minutes",
+) -> DataFrame:
+    """ST breadth: STREAM-STREAM inner join with an event-time range
+    condition — each error event joins same-user purchases within
+    [error_ts - bound, error_ts]. Both sides carry watermarks, so Spark can
+    bound the join state it buffers (late rows beyond the watermark are
+    dropped, matched state older than watermark + bound is evicted) — the
+    state-size contract that makes the join viable on unbounded streams."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    e = errors.select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    ).withWatermark("e_ts", watermark)
+    cond = F.expr(
+        f"p_user = user_id AND p_ts BETWEEN e_ts - INTERVAL {bound} AND e_ts"
+    )
+    return e.join(p, cond, "inner").select(
+        "error_id", "purchase_id", "user_id", "e_ts", "p_ts"
+    )
+
+
 def stateful_running_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """ST6 variant — CUSTOM stateful streaming operator via
     applyInPandasWithState (the arbitrary-state API, vs the declarative

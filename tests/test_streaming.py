@@ -88,6 +88,45 @@ def test_session_windows_stream(spark, tmp_path):
     assert rows and all(r.n_events >= 1 for r in rows)
 
 
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream range join agrees with its batch equivalent."""
+    src = str(tmp_path / "events_ss")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    batch.write.mode("overwrite").parquet(src)
+    ev = ST.read_events_stream(spark, src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    joined = ST.join_event_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0].n
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    be = batch.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    want = be.join(
+        bp,
+        F.expr("p_user = user_id AND p_ts BETWEEN e_ts - INTERVAL 30 minutes AND e_ts"),
+    ).count()
+    assert got == want > 0, (got, want)
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-key state survives across micro-batches —
     final per-user totals equal the batch aggregate, and users spanning
