@@ -308,6 +308,26 @@ def snb_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
 
 
+def phonetic_blocks(
+    records: DataFrame, norm_col: str = "norm", max_tokens: int = 2
+) -> DataFrame:
+    """Phonetic blocking (the third classic blocker family beside LSH and
+    sorted-neighborhood — Christen '12): block key = Soundex code of each of
+    the first `max_tokens` tokens of the normalized surface, catching
+    same-sounding spelling variants ('smith'/'smyth') that survive
+    normalization with different shingles. JVM built-in soundex; row-local;
+    pair with salt_blocks before pairs_from_blocks like any blocker.
+    """
+    toks = F.split(F.col(norm_col), " ")
+    keys = F.transform(
+        F.slice(toks, 1, max_tokens),
+        lambda t, i: F.format_string("sx:%d:%s", i, F.soundex(t)),
+    )
+    return records.select(
+        "record_id", F.explode(F.array_distinct(keys)).alias("block_key")
+    ).filter(F.col("block_key").isNotNull())
+
+
 def merge_pairs(*pair_dfs: DataFrame) -> DataFrame:
     """Union candidate pairs from multiple blockers, one row per pair
     (SURVEY.md D7). Deterministic representative block_key = min."""

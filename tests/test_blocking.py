@@ -81,3 +81,23 @@ def test_snb_global_rank_is_total_order(spark):
     ranks = sorted((row.rank, row.norm) for row in ranked)
     assert [x[0] for x in ranks] == list(range(200))
     assert [x[1] for x in ranks] == sorted(x[1] for x in ranks)
+
+
+def test_phonetic_blocks_pair_spelling_variants(spark):
+    from nlp_entity_linking_spark.operators import blocking as B
+
+    records = spark.createDataFrame(
+        [
+            (1, "john smith"),
+            (2, "jon smyth"),      # phonetic match of 1 on both tokens
+            (3, "catherine myers"),
+            (4, "katherine myers"),  # phonetic on token 2, C/K differ on token 1
+            (5, "zebra piano"),
+        ],
+        "record_id long, norm string",
+    )
+    blocks = B.phonetic_blocks(records)
+    pairs = {(r.id_a, r.id_b) for r in B.pairs_from_blocks(blocks).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert all(5 not in p for p in pairs)
