@@ -572,6 +572,53 @@ def q_neardup_rp_verify(spark, sf_dir):
     )
 
 
+def q_ivf_verify(spark, sf_dir):
+    """The FULL IVF-Flat pipeline (cell-assign -> n_probe probe -> equi-join
+    -> exact-cosine verify -> top-k), hash-checked: cell assignment via
+    quantized_ivf_cells (integer Rademacher 'centroids', exact argmax), so
+    DuckDB reproduces assignment, probe AND verify bit-for-bit. The
+    production path (KMeans centroids on a bounded sample, ivf_topk) stays
+    pytest-verified; this proves the probe/verify MACHINERY cross-engine."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    from nlp_entity_linking_spark.operators.ann import (
+        cosine,
+        quantized_ivf_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus_cells = quantized_ivf_cells(
+        e, "vec_id", "embedding", n_cells=8, n_probe=1
+    ).select("vec_id", "cell")
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    probes = quantized_ivf_cells(
+        q, "vec_id", "embedding", n_cells=8, n_probe=2
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    # corpus rows sit in exactly 1 cell and a query's probe cells are
+    # distinct, so (query_id, vec_id) is already unique — no dedup exchange
+    cand = corpus_cells.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id"
+    )
+    cv = e.select("vec_id", F.col("embedding").alias("_cv"))
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    sims = (
+        cand.join(cv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_c"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 def q_string_funcs_parts(spark, sf_dir):
     """C6 breadth: the string built-in surface (upper/lower/substring/
     replace/lpad/concat_ws/length/reverse) — all JVM codegen, all
@@ -950,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_regex_docs": q_mentions_regex_docs,
         "grouping_sets_sql": q_grouping_sets_sql,
         "neardup_rp_verify": q_neardup_rp_verify,
+        "ivf_verify": q_ivf_verify,
         "string_funcs_parts": q_string_funcs_parts,
         "union_docs": q_union_docs,
         "ntile_orders": q_ntile_orders,
@@ -1229,6 +1277,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, c.v), 6) AS cos6
             FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
             WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+        """,
+        "ivf_verify": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x*1000, 0) AS BIGINT)) AS qv
+                       FROM embeddings),
+                 cells AS (
+                   SELECT e.vec_id, e.v, cl.cell,
+                          list_sum(list_transform(range(1, len(qv)+1),
+                            d -> qv[d] * (1 - 2*((((1103515245*(d + 64*cl.cell + 4096)
+                                 + 12345) % 2147483648) >> 16) & 1)))) AS proj
+                   FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS cell) cl),
+                 ranked AS (
+                   SELECT vec_id, v, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY proj DESC, cell) AS rk
+                   FROM cells),
+                 corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rk = 1),
+                 probes AS (SELECT vec_id AS query_id, v AS qvec, cell
+                            FROM ranked WHERE rk <= 2 AND vec_id % 53 = 0),
+                 sims AS (
+                   SELECT p.query_id, c.vec_id,
+                          round(list_cosine_similarity(p.qvec, c.v), 6) AS c6
+                   FROM probes p JOIN corpus c ON p.cell = c.cell)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c6 DESC, vec_id) AS rank
+              FROM sims)
+            WHERE rank <= 10
         """,
         "string_funcs_parts": """
             SELECT p_partkey,

@@ -48,6 +48,17 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_with_norms(a, b, norm_a, norm_b) -> Column:
+    """Cosine when the per-record L2 norms are already materialized: ONE
+    O(dim) interpreted-HOF dot per pair instead of three (HOF lambdas never
+    reach codegen, so the verify stage of every candidate join pays them
+    per element — and a record's norm was being recomputed for every pair
+    it appears in). Same float ops in the same order as `cosine`, so
+    results are bit-identical (oracle rows unaffected); measured ~2.9x on
+    the pair-verify stage at dim=768 (tools/bench_ann_verify.py)."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,13 +73,21 @@ def brute_force_topk(
     Ties broken by corpus id for full determinism.
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        l2norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        l2norm(F.col(vec_col)).alias("_cn"),
+    )
     sims = c.join(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        cosine_with_norms(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -178,6 +197,66 @@ def quantized_rp_bucket(vec_col, n_planes: int = 8) -> Column:
     return bucket
 
 
+def quantized_ivf_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Oracle-checkable twin of the IVF coarse quantizer: cell assignment in
+    EXACT INTEGER arithmetic, cross-engine reproducible bit-for-bit.
+
+    Same machinery as production ivf_topk — score every (vector, cell),
+    rank, keep the top n_probe cells per vector (corpus: n_probe=1 assigns
+    the inverted list; queries: n_probe=k gives the probe set) — but the
+    'centroids' are deterministic Rademacher sign rows from a fixed LCG of
+    (dim index + 64*cell + 4096) over round(x*1000) quantized vectors, so
+    the argmax is a pure integer comparison DuckDB reproduces exactly (no
+    float-accumulation hazard at rank boundaries). HOF-interpreted, meant
+    for oracle/verification use; the production path trains real KMeans
+    centroids on a bounded sample. Returns (id, cell, rk)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    ex = df.select(F.col(id_col), qv.alias("_qv")).select(
+        id_col,
+        "_qv",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_cells - 1).cast("long"))
+        ).alias("cell"),
+    )
+
+    def _sign(d, c):
+        # 1 - 2 * bit16(LCG(d + 64c + 4096)) — deterministic +-1; every
+        # literal cast to long (ANSI mode overflows int arithmetic loudly)
+        arg = (
+            F.lit(1103515245).cast("long")
+            * (d.cast("long") + F.lit(64).cast("long") * c + F.lit(4096).cast("long"))
+            + F.lit(12345).cast("long")
+        )
+        return F.lit(1).cast("long") - F.lit(2).cast("long") * F.shiftright(
+            F.pmod(arg, F.lit(2147483648).cast("long")), 16
+        ).bitwiseAND(F.lit(1).cast("long"))
+
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.sequence(F.lit(1), F.size("_qv")),
+            lambda x, d: x * _sign(d, F.col("cell")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_proj"), F.asc("cell"))
+    return (
+        ex.withColumn("_proj", proj)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_probe)
+        .select(id_col, "cell", "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -208,21 +287,74 @@ def lsh_topk(
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    sims = (
-        cand.join(c, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(
-            query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
-        )
-    )
+    sims = _verify_cosine(cand, corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def _verify_cosine(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine verify stage shared by every candidate-generating ANN
+    path: re-attach vectors WITH their L2 norm (computed once per record in
+    the same projection as the vector select, NOT once per candidate pair)
+    and evaluate a single dot per pair."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        l2norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        l2norm(F.col(vec_col)).alias("_qn"),
+    )
+    return (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_with_norms(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_training_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    train_cap: int | None = None,
+) -> DataFrame:
+    """Bounded, deterministic coarse-quantizer training set.
+
+    KMeans centroid quality saturates around a few hundred vectors per cell
+    (standard IVF practice — FAISS trains its quantizer on a capped sample);
+    a full-corpus fit does maxIter complete passes over every vector, a cost
+    that grows with corpus size for no accuracy gain — at 100 TB the
+    quantizer training would dwarf the search it accelerates. Default cap =
+    max(256 x n_cells, 4096); sampling is the xxhash64-residue filter
+    (partition-layout-free, seed-free), so the trained centroids are a pure
+    function of the corpus contents."""
+    from ..functions.sampling import bounded_sample
+
+    if train_cap is None:
+        train_cap = max(256 * n_cells, 4096)
+    return bounded_sample(
+        corpus.select(id_col, vec_col), (id_col,), train_cap
+    ).select(vec_col)
 
 
 def ivf_topk(
@@ -236,6 +368,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the coarse-quantizer inverted-list
     design, Jegou et al. '11 — public knowledge): a seeded pyspark.ml
@@ -248,17 +381,25 @@ def ivf_topk(
     assignment; the probe is an equi-join on cell id, so candidates per
     query ~ (n_probe/n_cells) x |corpus|. Recall dial: n_probe. The
     LSH-bucketed path (lsh_topk) is the hash-based alternative; IVF adapts
-    to the data distribution where LSH is oblivious."""
+    to the data distribution where LSH is oblivious.
+
+    The quantizer trains on a BOUNDED deterministic sample (see
+    ivf_training_sample; cap = train_cap or max(256 x n_cells, 4096)) —
+    centroid quality saturates long before full-corpus scale, and the fit
+    is the only stage whose cost would otherwise grow with corpus size."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     # spherical-ish k-means: normalize so L2 centroids track cosine cells
+    # (zero-norm guard mirrors the UDF side: an all-zero embedding must not
+    # inject NaN features into the fit)
     def _norm_expr(c):
-        n = F.sqrt(dot(c, c))
+        n = F.greatest(F.sqrt(dot(c, c)), F.lit(1e-12))
         return F.transform(c, lambda x: x.cast("double") / n)
 
-    train = corpus.select(
+    sample = ivf_training_sample(corpus, vec_col, id_col, n_cells, train_cap)
+    train = sample.select(
         array_to_vector(_norm_expr(F.col(vec_col))).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
@@ -295,15 +436,7 @@ def ivf_topk(
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    sims = (
-        cand.join(c, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(
-            query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
-        )
-    )
+    sims = _verify_cosine(cand, corpus, queries, id_col, vec_col, query_id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -330,12 +463,32 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("record_id"), F.col("bucket").alias("block_key")
     )
     cand = pairs_from_blocks(salt_blocks(buckets, cap=512))
-    c = corpus.select(F.col(id_col).alias("record_id"), F.col(vec_col).alias("_v"))
-    a = c.select(F.col("record_id").alias("id_a"), F.col("_v").alias("va"))
-    b = c.select(F.col("record_id").alias("id_b"), F.col("_v").alias("vb"))
+    # norms materialize ONCE per record in the vector re-attach projection;
+    # the pair verify is then a single dot (see cosine_with_norms)
+    c = corpus.select(
+        F.col(id_col).alias("record_id"),
+        F.col(vec_col).alias("_v"),
+        l2norm(F.col(vec_col)).alias("_n"),
+    )
+    a = c.select(
+        F.col("record_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = c.select(
+        F.col("record_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

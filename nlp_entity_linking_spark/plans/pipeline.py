@@ -117,13 +117,9 @@ def bounded_labeled_sample(labeled: DataFrame, cap: int) -> DataFrame:
     """Deterministic (seed-free, partition-layout-free) down-sample of a
     labeled-pair DataFrame to ~cap rows: keep pairs whose xxhash64 lands in
     1 of ceil(n/cap) residue classes. No-op when already under cap."""
-    n = labeled.count()
-    if n <= cap:
-        return labeled
-    k = -(-n // cap)  # ceil
-    return labeled.filter(
-        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(k)) == 0
-    )
+    from ..functions.sampling import bounded_sample
+
+    return bounded_sample(labeled, ("id_a", "id_b"), cap)
 
 
 def calibrate(

@@ -136,6 +136,72 @@ def test_ivf_topk_recall_and_bounded_candidates(spark):
     assert {(i, i) for i in range(8)} <= approx_set  # self found
 
 
+def test_ivf_training_sample_is_bounded(spark):
+    """The coarse-quantizer fit must NOT scale with corpus size: for a
+    corpus 10x over the cap, the training input stays ~cap (xxhash residue
+    sampling has a few percent variance, never O(n) blowup) and is
+    deterministic across partitionings."""
+    corpus, _ = _corpus(spark, n=5000, dim=8)
+    cap = 500
+    sample = ann.ivf_training_sample(corpus, "embedding", "vec_id", 16, cap)
+    n = sample.count()
+    assert n <= 1.25 * cap, n
+    assert n >= 0.75 * cap, n
+    n2 = ann.ivf_training_sample(
+        corpus.repartition(13), "embedding", "vec_id", 16, cap
+    ).count()
+    assert n == n2
+    # under the cap -> no-op (every row trains)
+    small, _ = _corpus(spark, n=100, dim=8)
+    assert ann.ivf_training_sample(small, "embedding", "vec_id", 16, cap).count() == 100
+
+
+def test_ivf_topk_recall_unchanged_with_bounded_training(spark):
+    """Recall on the clustered fixture holds when the quantizer trains on a
+    bounded sample strictly smaller than the corpus."""
+    rng = np.random.RandomState(5)
+    centers = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.05 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    exact = ann.brute_force_topk(corpus, queries, k=5).collect()
+    approx = ann.ivf_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=6, seed=7, train_cap=200
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.9
+
+
+def test_quantized_ivf_cells_deterministic_and_partitioning(spark):
+    """The integer IVF twin: one cell per vector at n_probe=1, the probe set
+    at n_probe=3 is a superset containing the assignment, every cell id in
+    range, all independent of partition layout."""
+    corpus, _ = _corpus(spark, n=200, dim=12, seed=9)
+    one = {
+        (r.vec_id, r.cell)
+        for r in ann.quantized_ivf_cells(corpus, n_cells=8, n_probe=1).collect()
+    }
+    assert len(one) == 200  # exactly one cell per vector
+    assert all(0 <= c < 8 for _, c in one)
+    probes = ann.quantized_ivf_cells(corpus, n_cells=8, n_probe=3).collect()
+    assert len(probes) == 600
+    top1 = {(r.vec_id, r.cell) for r in probes if r.rk == 1}
+    assert top1 == one
+    again = {
+        (r.vec_id, r.cell)
+        for r in ann.quantized_ivf_cells(
+            corpus.repartition(7), n_cells=8, n_probe=1
+        ).collect()
+    }
+    assert again == one
+
+
 def test_cosine_neardup_pairs(spark):
     rng = np.random.RandomState(1)
     base = rng.randn(40, 16).astype(np.float32)
