@@ -119,7 +119,9 @@ def token_set_lev(tokens_a: Column | str, tokens_b: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def tfidf_weights(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+def tfidf_weights(
+    records: DataFrame, tokens_col: str = "tokens", n_docs: int | None = None
+) -> DataFrame:
     """records(record_id, tokens) -> (record_id, token, w) with L2-normalized
     smooth tf-idf weights: idf = ln((N+1)/(df+1)) — ubiquitous tokens
     (df≈N) get ~0 weight, which matters for short contexts.
@@ -135,8 +137,12 @@ def tfidf_weights(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     Shuffle anatomy: explode+hash -> groupBy(record_id, token) [tf] ->
     groupBy(token) [df, map-side combined] -> broadcast-join idf back ->
     window-free norm via groupBy(record_id) + rejoin.
+
+    n_docs: callers that already counted the records pass it to avoid a
+    second count job (the pipeline counts once per features stage).
     """
-    n_docs = records.count()
+    if n_docs is None:
+        n_docs = records.count()
     tf = (
         records.select("record_id", F.explode(tokens_col).alias("_ts"))
         .select("record_id", F.xxhash64("_ts").alias("token"))
@@ -172,7 +178,10 @@ def pair_cosine(
     broadcast_weights: explicit small-side decision (north rule: broadcast
     thresholds tuned, not defaulted). True pins both weight joins map-side —
     right when |records| x tokens fits an executor; False forces shuffle
-    joins — the 10^12-row path. None = decide from a cheap count.
+    joins — the 10^12-row path. None = decide from a cheap count — the
+    convenience path for ad-hoc callers; pipeline code paths pass the flag
+    explicitly (build_features derives it from the records count it already
+    holds) so the features stage fires no extra count job.
     """
     if broadcast_weights is None:
         # ~40 bytes/row; stay well under the 64 MiB broadcast threshold
@@ -272,6 +281,7 @@ def score_pairs(
     surface_a: str = "norm_a",
     surface_b: str = "norm_b",
     n_partitions: int | None = None,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Fused feature+score batch pass (SURVEY.md I7).
 
@@ -280,24 +290,37 @@ def score_pairs(
     sigmoid — a single Arrow round-trip; batch size bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
 
+    Any incoming `jw`/`score` column is DROPPED and recomputed: both names
+    are this pass's outputs, so keeping them would duplicate field names at
+    analysis (the legitimate case — re-scoring previously scored pairs
+    under a new calibration — wants exactly that recompute; callers who
+    need the old jw kept should rescore via `logistic_expr` instead).
+
     n_partitions: explicit parallelism for the Python-worker pass. AQE's
     size-based coalescing targets ~64 MiB *JVM* partitions, which is far
     too coarse for a CPU-bound UDF stage — left alone it can funnel the
     whole table through 2-3 Python workers. Default: 2x defaultParallelism.
+
+    input_partitions: the caller's knowledge of how many partitions feed
+    this stage (parquet scan width, an upstream repartition). When omitted,
+    the estimate is spark.sql.shuffle.partitions — right for the hot-path
+    callers, which all feed score_pairs from shuffled joins/aggregations —
+    chosen WITHOUT converting the plan to an RDD (probing the RDD partition
+    count forces physical planning of the whole query just to read a
+    number).
     """
-    # re-scoring input that already carries jw/score (e.g. new calibration
-    # over previously scored pairs) would otherwise produce duplicate field
-    # names and fail at analysis — drop them; jw is recomputed anyway, and
-    # callers who want to keep materialized jw should use logistic_expr.
     stale = [c for c in ("jw", "score") if c in pairs.columns]
     if stale:
         pairs = pairs.drop(*stale)
+    spark = pairs.sparkSession
     if n_partitions is None:
-        n_partitions = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+        n_partitions = 2 * spark.sparkContext.defaultParallelism
+    if input_partitions is None:
+        input_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartition only when the input is under-partitioned for the worker
     # pool: a redundant repartition costs a full disk shuffle — in local
     # mode shuffles share ONE disk, so gratuitous shuffles anti-scale.
-    if pairs.rdd.getNumPartitions() < n_partitions // 2:
+    if input_partitions < n_partitions // 2:
         pairs = pairs.repartition(n_partitions)
     w1, w2, w3 = model.weights
     b0 = model.bias

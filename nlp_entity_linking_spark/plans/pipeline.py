@@ -37,6 +37,13 @@ class PipelineConfig:
     # recall transitively).
     score_threshold: float = 0.8
     use_snb: bool = True
+    # third blocker family (Christen '12): Soundex keys on the leading
+    # normalized tokens catch same-sounding spelling variants whose shingle
+    # sets diverge past the LSH threshold AND whose sort keys diverge past
+    # the SNB window ('smith'/'smyth'). Off by default — it buys recall on
+    # phonetic-variant-heavy corpora at the cost of extra candidate pairs
+    # (measured in test_pipeline.py::test_phonetic_blocker_recall).
+    use_phonetic: bool = False
     model: S.ScoreModel = field(default_factory=S.ScoreModel)
     max_cc_iter: int = 25
 
@@ -52,13 +59,21 @@ def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
         records, "shingles", k=cfg.minhash_k, bands=cfg.bands
     ).persist()
     salted = B.salt_blocks(blocks, cap=cfg.salt_cap)
-    if not cfg.use_snb:
+    if not (cfg.use_snb or cfg.use_phonetic):
         return B.pairs_from_blocks(salted)
-    # dedup once across both blockers (merge_pairs) instead of per-blocker —
-    # one (id_a, id_b) exchange instead of two
-    lsh_pairs = B.pairs_from_blocks(salted, dedup=False)
-    snb = B.snb_pairs(records, "norm", window=cfg.snb_window)
-    return B.merge_pairs(lsh_pairs, snb)
+    # dedup once across all enabled blockers (merge_pairs) instead of
+    # per-blocker — one (id_a, id_b) exchange total
+    parts = [B.pairs_from_blocks(salted, dedup=False)]
+    if cfg.use_snb:
+        parts.append(B.snb_pairs(records, "norm", window=cfg.snb_window))
+    if cfg.use_phonetic:
+        parts.append(
+            B.pairs_from_blocks(
+                B.salt_blocks(B.phonetic_blocks(records), cap=cfg.salt_cap),
+                dedup=False,
+            )
+        )
+    return B.merge_pairs(*parts)
 
 
 def build_features(
@@ -83,10 +98,19 @@ def build_features(
     # then moves 3 longs/row instead of two token arrays + surfaces — and
     # attach the per-record surfaces/tokens afterwards (those joins shuffle
     # the thin records table, same cost either way).
-    weights = S.tfidf_weights(records, "ctx_tokens").persist()
+    # ONE count job powers both tfidf's n_docs and the broadcast decision
+    # (sized to ~100 distinct ctx tokens/record at ~40 B/weight-row, i.e.
+    # broadcast below ~60 MB of weights) — pair_cosine then fires no count
+    # of its own.
+    n_docs = records.count()
+    weights = S.tfidf_weights(records, "ctx_tokens", n_docs=n_docs).persist()
     if cache_registry is not None:
         cache_registry.append(weights)
-    cosed = S.pair_cosine(pairs.select("id_a", "id_b", "block_key"), weights)
+    cosed = S.pair_cosine(
+        pairs.select("id_a", "id_b", "block_key"),
+        weights,
+        broadcast_weights=n_docs * 100 < 1_500_000,
+    )
     thin = records.select("record_id", "norm", "tokens")
     a = thin.select(
         F.col("record_id").alias("id_a"),

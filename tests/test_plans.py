@@ -119,6 +119,48 @@ def test_pipeline_plans_have_no_scale_killers(spark):
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
 
+def test_build_features_fires_exactly_one_job(spark):
+    """Plan-construction cost audit: building the features stage must fire
+    exactly ONE Spark job — the records count that powers tfidf's n_docs
+    AND the explicit broadcast decision. Regression guards two retired
+    anti-patterns: pair_cosine's implicit weights.count() and score_pairs'
+    df.rdd.getNumPartitions() plan conversion."""
+    from nlp_entity_linking_spark.functions import similarity as S
+    from nlp_entity_linking_spark.plans import pipeline as P
+    from nlp_entity_linking_spark.sources.synthetic import gen_pages
+
+    pages, _ = gen_pages(spark, 120)
+    cfg = P.PipelineConfig()
+    records = P.build_records(pages, cfg).persist()
+    records.count()
+    pairs = P.build_candidate_pairs(records, cfg)
+    sc = spark.sparkContext
+    # baseline: the one action build_features is ALLOWED (records.count();
+    # AQE materializes a cached count as >1 sub-job, so measure, don't
+    # hard-code)
+    sc.setJobGroup("bf_baseline", "bare records count")
+    records.count()
+    sc.setJobGroup("bf_job_audit", "features stage construction")
+    try:
+        feats = P.build_features(records, pairs, cfg)
+        S.score_pairs(feats, cfg.model)  # construction only — no action
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    base = len(tracker.getJobIdsForGroup("bf_baseline"))
+    jobs = tracker.getJobIdsForGroup("bf_job_audit")
+    assert base >= 1
+    assert len(jobs) == base, (
+        f"features-stage construction fired {len(jobs)} jobs vs {base} for "
+        "its single allowed count — an implicit count/plan-conversion is back"
+    )
+    # the RDD-conversion pattern must stay out of the scoring hot path
+    import inspect
+
+    src = inspect.getsource(S)
+    assert ".rdd" not in src, "similarity.py regained an RDD conversion"
+
+
 def test_html_binary_pruned_after_extraction(spark):
     """The binary html column must not survive past the extraction project
     (SURVEY.md §4.1 column pruning — never shuffle the blobs)."""
