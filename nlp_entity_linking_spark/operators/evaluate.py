@@ -77,7 +77,12 @@ def blocking_quality(
     """
     g = records_with_gold.select("record_id", "entity_id")
     n = g.count()
-    n_cand = candidate_pairs.select("id_a", "id_b").distinct().count()
+    # n_cand and n_found MUST come from the same distinct projection: a
+    # non-deduped candidate input (e.g. raw multi-blocker output) would
+    # otherwise inflate n_found with duplicate rows and push
+    # pairs_completeness / pair_quality past 1.
+    cand = candidate_pairs.select("id_a", "id_b").distinct().persist()
+    n_cand = cand.count()
     # true pairs: same-entity record pairs (id_a < id_b); entity group
     # sizes are small, so the self-join per entity is bounded
     a = g.select(F.col("record_id").alias("id_a"), "entity_id")
@@ -87,10 +92,9 @@ def blocking_quality(
         .select("id_a", "id_b")
     ).persist()
     n_true = true_pairs.count()
-    n_found = candidate_pairs.select("id_a", "id_b").join(
-        true_pairs, ["id_a", "id_b"], "left_semi"
-    ).count()
+    n_found = cand.join(true_pairs, ["id_a", "id_b"], "left_semi").count()
     true_pairs.unpersist()
+    cand.unpersist()
     total = n * (n - 1) / 2
     return {
         "n_records": n,

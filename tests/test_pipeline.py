@@ -49,6 +49,74 @@ def test_end_to_end_f1(spark):
     assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0
 
 
+def test_phonetic_blocker_recall(spark):
+    """use_phonetic buys pairs-completeness on spelling variants that defeat
+    BOTH default blockers: zero-shingle-overlap respellings ('smith'/'smyth',
+    'meier'/'meyer') separated in sort order by > snb_window filler records.
+    Also regression-guards blocking_quality's dedup consistency: metrics
+    stay in [0, 1] even when the candidate input carries duplicate rows."""
+    from nlp_entity_linking_spark.functions.normalize import char_shingles, tokenize
+    from nlp_entity_linking_spark.operators.evaluate import blocking_quality
+
+    groups = [
+        # (entity, [true spelling variants], [sort-separating fillers])
+        (0, ["smith", "smyth"], ["smoke", "smolder", "smudge", "smug"]),
+        (1, ["meier", "meyer"], ["mellow", "mentor", "messer", "mettle"]),
+    ]
+    rows, gold_rows, rid = [], [], 0
+    for ent, variants, fillers in groups:
+        for name in variants:
+            rows.append((rid, name))
+            gold_rows.append((rid, ent))
+            rid += 1
+        for name in fillers:
+            rows.append((rid, name))
+            gold_rows.append((rid, 1000 + rid))  # singleton entities
+            rid += 1
+    records = (
+        spark.createDataFrame(rows, "record_id long, norm string")
+        .withColumn("shingles", char_shingles("norm", 3))
+        .withColumn("tokens", tokenize("norm"))
+    )
+    gold = spark.createDataFrame(gold_rows, "record_id long, entity_id long")
+    base_cfg = P.PipelineConfig(salt_cap=16)
+    without = P.build_candidate_pairs(records, base_cfg)
+    with_ph = P.build_candidate_pairs(
+        records, P.PipelineConfig(salt_cap=16, use_phonetic=True)
+    )
+    q0 = blocking_quality(without, gold)
+    q1 = blocking_quality(with_ph, gold)
+    # the planted respellings are invisible to LSH (disjoint shingles) and
+    # SNB (> window apart in sort order) but identical under Soundex
+    assert q0["pairs_completeness"] == 0.0, q0
+    assert q1["pairs_completeness"] == 1.0, q1
+    found = {(r.id_a, r.id_b) for r in with_ph.select("id_a", "id_b").collect()}
+    assert {(0, 1), (6, 7)} <= found
+    # duplicate candidate rows must not inflate any metric past 1
+    dup = with_ph.unionByName(with_ph)
+    qd = blocking_quality(dup, gold)
+    assert qd["n_candidates"] == q1["n_candidates"]
+    assert qd["pairs_completeness"] == q1["pairs_completeness"] <= 1.0
+    assert 0 < qd["pair_quality"] <= 1.0
+
+
+def test_end_to_end_f1_with_phonetic_blocker(spark):
+    """The F1 gate holds with the third blocker enabled (extra candidates
+    are precision-filtered by scoring, and completeness can only grow)."""
+    pages, gold = gen_pages(spark, 500)
+    cfg = P.PipelineConfig(use_phonetic=True)
+    records = P.build_records(pages, cfg).persist()
+    pairs = P.build_candidate_pairs(records, cfg).persist()
+    features = P.build_features(records, pairs, cfg).persist()
+    rg = records.join(gold, "url").select("record_id", "entity_id")
+    labeled = gen_labeled_pairs(pairs, rg).persist()
+    cfg = P.calibrate(features, labeled, cfg)
+    scored = S.score_pairs(features, cfg.model).persist()
+    scored.count()
+    _, metrics = P.select_threshold(scored, records, labeled, cfg)
+    assert metrics["f1"] >= 0.99, metrics
+
+
 def test_blocking_quality_metrics(spark):
     """Blocker diagnostics: on the planted fixture the two-blocker merge
     must keep nearly every true pair (pairs completeness ~1) while
