@@ -127,6 +127,34 @@ def lsh_blocks(
     )
 
 
+def hot_keys(blocks: DataFrame, cap: int = DEFAULT_SALT_CAP) -> DataFrame:
+    """(block_key, _shards) for keys with more than `cap` member records —
+    the tiny broadcast side of every salting decision. Exposed separately
+    so incremental/streaming callers can size shards from COMMITTED state
+    and salt both sides of a new-vs-old join consistently."""
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+    return sizes.filter(F.col("_n") > cap).select(
+        "block_key", F.ceil(F.col("_n") / cap).cast("int").alias("_shards")
+    )
+
+
+def apply_salt(blocks: DataFrame, hot: DataFrame, seed: int = 42) -> DataFrame:
+    """Shard every row whose key appears in `hot` into 'key#shard' by a
+    deterministic hash of record_id; other rows keep their key. Two inputs
+    salted against the SAME hot table land same-record-same-shard, so
+    within-shard joins stay consistent across callers."""
+    out = blocks.join(F.broadcast(hot), "block_key", "left")
+    salted = F.when(
+        F.col("_shards").isNotNull(),
+        F.format_string(
+            "%s#%d",
+            F.col("block_key"),
+            F.pmod(F.xxhash64(F.col("record_id"), F.lit(seed)), F.col("_shards")),
+        ),
+    ).otherwise(F.col("block_key"))
+    return out.select(F.col("record_id"), salted.alias("block_key"))
+
+
 def salt_blocks(
     blocks: DataFrame, cap: int = DEFAULT_SALT_CAP, seed: int = 42
 ) -> DataFrame:
@@ -140,20 +168,7 @@ def salt_blocks(
 
     The hot-key table is tiny (keys with >cap records) and is broadcast.
     """
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
-    hot = sizes.filter(F.col("_n") > cap).select(
-        "block_key", F.ceil(F.col("_n") / cap).cast("int").alias("_shards")
-    )
-    out = blocks.join(F.broadcast(hot), "block_key", "left")
-    salted = F.when(
-        F.col("_shards").isNotNull(),
-        F.format_string(
-            "%s#%d",
-            F.col("block_key"),
-            F.pmod(F.xxhash64(F.col("record_id"), F.lit(seed)), F.col("_shards")),
-        ),
-    ).otherwise(F.col("block_key"))
-    return out.select(F.col("record_id"), salted.alias("block_key"))
+    return apply_salt(blocks, hot_keys(blocks, cap), seed)
 
 
 def block_stats(blocks: DataFrame) -> DataFrame:

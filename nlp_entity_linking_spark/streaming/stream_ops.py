@@ -170,6 +170,112 @@ def stateful_running_totals(events: DataFrame, key_col: str = "user_id") -> Data
     )
 
 
+def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame | None:
+    """Union of the committed per-epoch tables for one logical state table
+    (records/blocks/edges). Plan width grows with len(epochs) — compact()
+    folds the epoch list back to one table."""
+    dfs = [
+        cat.read(spark, f"{name}_epoch_{e}")
+        for e in epochs
+        if cat.is_committed(f"{name}_epoch_{e}")
+    ]
+    if not dfs:
+        return None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def incremental_candidate_pairs(
+    new_blocks: DataFrame, old_blocks: DataFrame | None, salt_cap: int
+) -> DataFrame:
+    """Candidate pairs touching a new record: new x new within the batch
+    (salted by batch-local sizes, like the batch pipeline) plus new x old
+    against committed blocks.
+
+    Hot committed keys (> salt_cap members) are SALTED, not dropped: both
+    sides shard by the same deterministic record_id hash against the same
+    committed-size hot table, and the join runs within shards — each new
+    record meets ~cap old rows per hot key, reproducing the batch path's
+    within-shard-pairs semantics (the earlier exclusion was a streaming-only
+    recall hole on template-heavy corpora). Shard counts come from COMMITTED
+    sizes, not the merged corpus — a bounded approximation of batch salting
+    that refreshes at compaction."""
+    from ..operators import blocking as B
+
+    nn = B.pairs_from_blocks(B.salt_blocks(new_blocks, cap=salt_cap), dedup=False)
+    if old_blocks is None:
+        return nn.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
+    hot = B.hot_keys(old_blocks, salt_cap)
+    no = (
+        B.apply_salt(new_blocks, hot)
+        .withColumnRenamed("record_id", "_rid_new")
+        .join(B.apply_salt(old_blocks, hot), "block_key")
+        .select(
+            F.least("_rid_new", "record_id").alias("id_a"),
+            F.greatest("_rid_new", "record_id").alias("id_b"),
+            "block_key",
+        )
+    )
+    return B.merge_pairs(nn, no)
+
+
+def incremental_cluster(
+    prev_clusters: DataFrame | None,
+    new_records: DataFrame,
+    edges_new: DataFrame,
+    cfg,
+) -> DataFrame:
+    """Connected components touching ONLY the subgraph reachable from this
+    batch's new edges, stitched onto the untouched prior labels.
+
+    Prior clusters are a transitive closure, so each one is represented by
+    its STAR EDGES (label -> member): CC over {star edges of touched
+    clusters} U {new edges} yields exactly the labels a full CC over all
+    historical edges would — min-id labels merge across the stars — while
+    the iteration cost is bounded by the touched subgraph, not the corpus.
+    Untouched clusters (including prior singletons) keep their rows
+    verbatim; new records with no edge become their own cluster."""
+    from ..operators import cc as CC
+
+    new_ids = new_records.select("record_id")
+    if prev_clusters is None:
+        labels = CC.connected_components(
+            edges_new.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+            max_iter=cfg.max_cc_iter,
+        )
+        return CC.attach_singletons(labels, new_records)
+    endpoints = (
+        edges_new.select(F.col("id_a").alias("record_id"))
+        .unionByName(edges_new.select(F.col("id_b").alias("record_id")))
+        .distinct()
+    )
+    touched_clusters = (
+        prev_clusters.join(endpoints, "record_id")
+        .select("cluster_id")
+        .distinct()
+    )
+    touched = prev_clusters.join(
+        F.broadcast(touched_clusters), "cluster_id", "left_semi"
+    )
+    star = touched.filter(F.col("record_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("u"), F.col("record_id").alias("v")
+    )
+    sub_edges = edges_new.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(star)
+    sub_labels = CC.connected_components(sub_edges, max_iter=cfg.max_cc_iter)
+    untouched = prev_clusters.join(
+        F.broadcast(touched_clusters), "cluster_id", "left_anti"
+    )
+    new_singletons = (
+        new_ids.join(sub_labels.select("record_id"), "record_id", "left_anti")
+        .select("record_id", F.col("record_id").alias("cluster_id"))
+    )
+    return untouched.unionByName(sub_labels).unionByName(new_singletons)
+
+
 def incremental_er(
     spark: SparkSession,
     pages_stream: DataFrame,
@@ -186,19 +292,22 @@ def incremental_er(
 
     Scale shape: per-batch QUADRATIC work is bounded by the batch size — the
     previous full-re-block form rescored the whole merged corpus every
-    micro-batch, degrading quadratically with stream length. Residual
-    per-batch LINEAR costs (committed-blocks key join, TF-IDF corpus
-    weights, cluster rewrite) map onto bucketed catalog tables and
-    incrementally maintained stats in a production deployment. Hot keys
-    (committed block size > salt_cap) are excluded from new x old expansion
-    — the same documented recall bound as salting in the batch path.
-    Sorted-neighborhood is global-order by construction and is not run
-    incrementally (production pairs this with periodic full-re-block
-    compaction). With pair-local scoring features the final clusters equal
-    the batch pipeline at use_snb=False exactly; the corpus-dependent TF-IDF
-    cosine is computed over the epoch-visible corpus, so early-epoch scores
-    carry bounded-staleness IDF — the standard incremental-ER tradeoff,
-    refreshed by the same periodic compaction.
+    micro-batch, degrading quadratically with stream length. Clustering is
+    INCREMENTAL too (incremental_cluster): CC iterates only over the
+    subgraph this batch's edges touch, stitched onto untouched prior
+    labels. Residual per-batch LINEAR costs (committed-blocks key join,
+    TF-IDF corpus weights, cluster rewrite) map onto bucketed catalog
+    tables and incrementally maintained stats in a production deployment.
+    Hot committed keys (> salt_cap members) are salted into within-shard
+    new x old joins (incremental_candidate_pairs) — the same bounded-recall
+    semantics as batch salting, not a drop. Sorted-neighborhood is
+    global-order by construction and is not run incrementally. With
+    pair-local scoring features the final clusters equal the batch pipeline
+    at use_snb=False exactly; the corpus-dependent TF-IDF cosine is
+    computed over the epoch-visible corpus, so early-epoch scores carry
+    bounded-staleness IDF — the standard incremental-ER tradeoff, refreshed
+    by periodic compact() (which also folds the growing per-epoch union
+    plans back to single tables).
 
     State layout: records/blocks/edges are APPEND-ONLY epoch tables (each
     epoch writes only its new rows; per-batch write work is O(batch), not
@@ -218,28 +327,15 @@ def incremental_er(
     cfg = cfg or P.PipelineConfig()
     cat = Catalog(out_dir, run_id)
 
-    def _visible_epochs() -> list[int]:
-        meta = cat.committed_meta("epoch")
-        return list(meta["epochs"]) if meta else []
-
-    def _state(name: str, epochs: list[int]) -> DataFrame | None:
-        dfs = [
-            cat.read(spark, f"{name}_epoch_{e}")
-            for e in epochs
-            if cat.is_committed(f"{name}_epoch_{e}")
-        ]
-        if not dfs:
-            return None
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+    def _epoch_meta() -> dict:
+        return cat.committed_meta("epoch") or {"epochs": [], "n_compactions": 0}
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cached: list[DataFrame] = []
         try:
-            epochs = _visible_epochs()
-            prev_records = _state("records", epochs)
+            meta = _epoch_meta()
+            epochs = list(meta["epochs"])
+            prev_records = _read_state(spark, cat, "records", epochs)
             new_records = P.build_records(batch_df, cfg)
             if prev_records is not None:
                 new_records = new_records.join(
@@ -254,33 +350,16 @@ def incremental_er(
                 new_records, "shingles", k=cfg.minhash_k, bands=cfg.bands
             ).persist()
             cached.append(new_blocks)
-            # new x new within the batch (salted, like the batch pipeline)
-            nn = B.pairs_from_blocks(
-                B.salt_blocks(new_blocks, cap=cfg.salt_cap), dedup=False
-            )
-            old_blocks = _state("blocks", epochs)
-            if old_blocks is not None:
-                sizes = old_blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
-                hot = sizes.filter(F.col("_n") > cfg.salt_cap).select("block_key")
-                no = (
-                    new_blocks.join(F.broadcast(hot), "block_key", "left_anti")
-                    .withColumnRenamed("record_id", "_rid_new")
-                    .join(old_blocks, "block_key")
-                    .select(
-                        F.least("_rid_new", "record_id").alias("id_a"),
-                        F.greatest("_rid_new", "record_id").alias("id_b"),
-                        "block_key",
-                    )
-                )
-                pairs = B.merge_pairs(nn, no)
-                merged_records = prev_records.unionByName(new_records)
-            else:
-                pairs = nn.groupBy("id_a", "id_b").agg(
-                    F.min("block_key").alias("block_key")
-                )
-                merged_records = new_records
-            pairs = pairs.persist()
+            old_blocks = _read_state(spark, cat, "blocks", epochs)
+            pairs = incremental_candidate_pairs(
+                new_blocks, old_blocks, cfg.salt_cap
+            ).persist()
             cached.append(pairs)
+            merged_records = (
+                prev_records.unionByName(new_records)
+                if prev_records is not None
+                else new_records
+            )
 
             feats = P.build_features(merged_records, pairs, cfg, cache_registry=cached)
             edges_new = (
@@ -295,14 +374,33 @@ def incremental_er(
             cat.write(edges_new, f"edges_epoch_{epoch_id}")
             n_pairs = pairs.count()
 
-            all_epochs = epochs + [epoch_id]
-            all_edges = _state("edges", all_epochs)
-            all_records = _state("records", all_epochs)
-            clusters = P.cluster(all_records, all_edges, cfg)
+            # INCREMENTAL clustering: CC runs only on the subgraph reachable
+            # from this batch's edges (prior clusters re-enter as star
+            # edges); untouched labels stream through from the previous
+            # epoch's clusters table — a single parquet read, not a union
+            # over all epochs' records/edges.
+            prev_clusters = (
+                cat.read(spark, f"clusters_epoch_{epochs[-1]}")
+                if epochs and cat.is_committed(f"clusters_epoch_{epochs[-1]}")
+                else None
+            )
+            committed_edges = cat.read(spark, f"edges_epoch_{epoch_id}")
+            clusters = incremental_cluster(
+                prev_clusters, new_records, committed_edges, cfg
+            )
             cat.write(clusters, f"clusters_epoch_{epoch_id}")
 
+            all_epochs = epochs + [epoch_id]
             # SINGLE atomic commit point: advance the visible-epoch set
-            cat.commit("epoch", {"epochs": all_epochs})
+            # (n_compactions rides along so compact() generations never
+            # reuse a table name a reader may still hold)
+            cat.commit(
+                "epoch",
+                {
+                    "epochs": all_epochs,
+                    "n_compactions": int(meta.get("n_compactions", 0)),
+                },
+            )
             cat.commit(
                 f"epoch_stats_{epoch_id}",
                 {
@@ -329,6 +427,50 @@ def incremental_er(
     return q
 
 
+def compact(spark: SparkSession, out_dir: str, run_id: str) -> dict:
+    """Fold every visible epoch of an incremental_er run into ONE
+    records/blocks/edges table behind the same atomic epoch marker.
+
+    Why: the state readers union one DataFrame per epoch, so after
+    thousands of micro-batches the per-batch plans carry thousand-branch
+    unions, and the new-vs-old hot-key shard counts drift from true corpus
+    sizes. Compaction rewrites the union as a single parquet table per
+    state name under a fresh generation id c<n> (never overwriting a path
+    a live reader may hold), then flips the epoch marker to [c<n>] in one
+    atomic commit — a crash mid-compaction leaves the previous epoch set
+    fully intact. Superseded epoch tables stay on disk for still-running
+    readers; production GC removes them after a retention window.
+
+    Run between triggers (the availableNow pattern: query finished or
+    stopped) — process_batch snapshots the epoch list at batch start, so a
+    concurrent flip mid-batch would be clobbered by that batch's commit.
+
+    Returns {"epoch": c<n>, "n_epochs_folded": k}; no-op dict when there is
+    nothing to fold."""
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(out_dir, run_id)
+    meta = cat.committed_meta("epoch")
+    if not meta or not meta["epochs"]:
+        return {"epoch": None, "n_epochs_folded": 0}
+    epochs = list(meta["epochs"])
+    if len(epochs) == 1:
+        return {"epoch": epochs[0], "n_epochs_folded": 0}
+    gen = int(meta.get("n_compactions", 0)) + 1
+    cid = f"c{gen}"
+    for name in ("records", "blocks", "edges"):
+        df = _read_state(spark, cat, name, epochs)
+        cat.write(df, f"{name}_epoch_{cid}")
+    # the last epoch's clusters are already the global labels — re-point,
+    # don't recompute
+    cat.write(
+        cat.read(spark, f"clusters_epoch_{epochs[-1]}"), f"clusters_epoch_{cid}"
+    )
+    cat.commit("epoch", {"epochs": [cid], "n_compactions": gen})
+    cat.write_alias("clusters", f"clusters_epoch_{cid}")
+    return {"epoch": cid, "n_epochs_folded": len(epochs)}
+
+
 def read_er_records(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
     """Union of all committed per-epoch record tables (the logical
     'records' table of an incremental_er run)."""
@@ -336,12 +478,10 @@ def read_er_records(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame
 
     cat = Catalog(out_dir, run_id)
     meta = cat.committed_meta("epoch") or {"epochs": []}
-    dfs = [
-        cat.read(spark, f"records_epoch_{e}")
-        for e in meta["epochs"]
-        if cat.is_committed(f"records_epoch_{e}")
-    ]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
+    out = _read_state(spark, cat, "records", list(meta["epochs"]))
+    if out is None:
+        raise ValueError(
+            f"incremental_er run '{run_id}' under {out_dir} has no committed "
+            "epochs (the stream delivered zero non-empty batches)"
+        )
     return out

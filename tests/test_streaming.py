@@ -197,6 +197,125 @@ def test_incremental_er_resumes_across_restarts(spark, tmp_path):
     assert cat.read(spark, "clusters").count() == 200
 
 
+def test_read_er_records_empty_run_raises(spark, tmp_path):
+    """A run with no committed epochs must fail loudly, not IndexError."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no committed epochs"):
+        ST.read_er_records(spark, str(tmp_path / "cat"), "never_ran")
+
+
+def test_incremental_hot_key_salting(spark):
+    """new x old expansion on a HOT committed key is salted into
+    within-shard joins, not dropped: every new record meets the old rows in
+    its shard (bounded ~cap per key), so cross-wave recall on template-heavy
+    keys survives incremental blocking."""
+    cap = 16
+    old = spark.createDataFrame(
+        [(i, "hot") for i in range(100)] + [(i, "cold") for i in range(100, 104)],
+        "record_id long, block_key string",
+    )
+    new = spark.createDataFrame(
+        [(i, "hot") for i in range(1000, 1010)] + [(1010, "cold")],
+        "record_id long, block_key string",
+    )
+    pairs = ST.incremental_candidate_pairs(new, old, cap).collect()
+    hot_pairs = [p for p in pairs if p.block_key.startswith("hot")]
+    cold_pairs = [p for p in pairs if p.block_key.startswith("cold")]
+    # cold key: every new-old pair survives untouched
+    assert len(cold_pairs) == 4
+    # hot key: present (the old exclusion produced ZERO), bounded well below
+    # the full 10x100 + C(10,2) expansion, and consistent with shard math
+    assert len(hot_pairs) > 0
+    n_shards = -(-100 // cap)  # ceil(old_size / cap) = 7
+    assert len(hot_pairs) < 10 * 100 + 45
+    sh = lambda rid: next(
+        r.s for r in spark.createDataFrame([(rid,)], "record_id long")
+        .select(F.pmod(F.xxhash64("record_id", F.lit(42)), F.lit(n_shards)).alias("s"))
+        .collect()
+    )
+    for p in hot_pairs:
+        if p.id_a >= 1000 or p.id_b < 1000:
+            continue  # new-new pairs ride the batch-local salt instead
+        assert sh(p.id_a) == sh(p.id_b), p  # new x old only within a shard
+
+
+def test_incremental_er_compaction(spark, tmp_path):
+    """compact() folds N epochs into one generation table set: the visible
+    epoch list collapses to [c1], records/clusters are preserved verbatim,
+    the stream continues appending on top of the compacted state across
+    many more batches, and the final clusters stay byte-equal to the batch
+    pipeline (pair-local model, use_snb=False)."""
+    from nlp_entity_linking_spark.functions import similarity as S
+    from nlp_entity_linking_spark.functions.similarity import ScoreModel
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    pages, _ = gen_pages(spark, 200)
+    path = str(tmp_path / "pages_in")
+    out = str(tmp_path / "cat")
+    cfg = P.PipelineConfig(
+        use_snb=False, model=ScoreModel(weights=(2.0, 8.0, 0.0), bias=-6.0)
+    )
+    w1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    w2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    # wave 1: 24 files / maxFilesPerTrigger=8 -> 3 micro-batches
+    w1.repartition(24).write.mode("append").parquet(path)
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out,
+        "sc", checkpoint_dir=str(tmp_path / "ck2"), cfg=cfg,
+    )
+    q.awaitTermination(300)
+    cat = Catalog(out, "sc")
+    epochs_before = cat.committed_meta("epoch")["epochs"]
+    assert len(epochs_before) >= 3, epochs_before
+    rec_before = {r.record_id for r in ST.read_er_records(spark, out, "sc").collect()}
+    clu_before = {
+        (r.record_id, r.cluster_id) for r in cat.read(spark, "clusters").collect()
+    }
+
+    info = ST.compact(spark, out, "sc")
+    assert info["epoch"] == "c1" and info["n_epochs_folded"] == len(epochs_before)
+    meta = cat.committed_meta("epoch")
+    assert meta["epochs"] == ["c1"] and meta["n_compactions"] == 1
+    assert {
+        r.record_id for r in ST.read_er_records(spark, out, "sc").collect()
+    } == rec_before
+    assert {
+        (r.record_id, r.cluster_id) for r in cat.read(spark, "clusters").collect()
+    } == clu_before
+    # compacting a single epoch is a no-op (no c2 table churn)
+    assert ST.compact(spark, out, "sc")["n_epochs_folded"] == 0
+
+    # wave 2 on top of compacted state: 56 files -> 7 more micro-batches
+    # (>= 10 batches across the run), state reader stays 1 + 7 branches
+    w2.repartition(56).write.mode("append").parquet(path)
+    q2 = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out,
+        "sc", checkpoint_dir=str(tmp_path / "ck2"), cfg=cfg,
+    )
+    q2.awaitTermination(600)
+    meta2 = cat.committed_meta("epoch")
+    assert meta2["epochs"][0] == "c1" and len(meta2["epochs"]) >= 8
+    assert meta2["n_compactions"] == 1  # generation survives epoch commits
+    records = ST.read_er_records(spark, out, "sc")
+    assert records.count() == 200
+
+    # final clusters byte-equal to the batch pipeline
+    brecords = P.build_records(pages, cfg).persist()
+    bpairs = P.build_candidate_pairs(brecords, cfg)
+    feats = P.build_features(brecords, bpairs, cfg)
+    edges = (
+        S.score_pairs(feats, cfg.model)
+        .filter(F.col("score") >= cfg.score_threshold)
+        .select("id_a", "id_b")
+    )
+    bclusters = P.cluster(brecords, edges, cfg)
+    got = {(r.record_id, r.cluster_id) for r in cat.read(spark, "clusters").collect()}
+    want = {(r.record_id, r.cluster_id) for r in bclusters.collect()}
+    assert got == want
+
+
 def test_incremental_er_foreach_batch(spark, tmp_path):
     """Incremental blocking: >=2 micro-batches, per-batch scored pairs are
     only the pairs TOUCHING that batch's new records (never a full corpus
