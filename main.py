@@ -24,6 +24,12 @@ def parse_args(argv):
     p.add_argument("--out", default="/tmp/erlink_out")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--use-phonetic",
+        action="store_true",
+        help="enable the Soundex blocker alongside LSH + sorted-neighborhood "
+        "(recall on spelling variants at the cost of extra candidate pairs)",
+    )
     return p.parse_args(argv)
 
 
@@ -40,6 +46,11 @@ def main(argv=None) -> int:
         from nlp_entity_linking_spark.sources.synthetic import gen_pages
 
         pages, gold = gen_pages(spark, args.n_pages)
+    cfg = None
+    if args.use_phonetic:
+        from nlp_entity_linking_spark.plans.pipeline import PipelineConfig
+
+        cfg = PipelineConfig(use_phonetic=True)
     summary = run_with_catalog(
         spark,
         pages,
@@ -47,6 +58,7 @@ def main(argv=None) -> int:
         run_id=args.run_id,
         resume=args.resume,
         gold=gold,
+        cfg=cfg,
     )
     print(json.dumps(summary, default=str))
     spark.stop()

@@ -98,18 +98,22 @@ def build_features(
     # then moves 3 longs/row instead of two token arrays + surfaces — and
     # attach the per-record surfaces/tokens afterwards (those joins shuffle
     # the thin records table, same cost either way).
-    # ONE count job powers both tfidf's n_docs and the broadcast decision
-    # (sized to ~100 distinct ctx tokens/record at ~40 B/weight-row, i.e.
-    # broadcast below ~60 MB of weights) — pair_cosine then fires no count
-    # of its own.
-    n_docs = records.count()
+    # ONE aggregate job powers both tfidf's n_docs and the broadcast
+    # decision: total ctx-token instances upper-bound the distinct
+    # (record, token) weight rows, so `tok < 1.5M` (~40 B/row, well under
+    # the 64 MiB broadcast ceiling) is a safe real-statistics threshold —
+    # pair_cosine then fires no count of its own.
+    stats = records.agg(
+        F.count("*").alias("n"), F.sum(F.size("ctx_tokens")).alias("tok")
+    ).collect()[0]
+    n_docs = stats["n"]
     weights = S.tfidf_weights(records, "ctx_tokens", n_docs=n_docs).persist()
     if cache_registry is not None:
         cache_registry.append(weights)
     cosed = S.pair_cosine(
         pairs.select("id_a", "id_b", "block_key"),
         weights,
-        broadcast_weights=n_docs * 100 < 1_500_000,
+        broadcast_weights=(stats["tok"] or 0) < 1_500_000,
     )
     thin = records.select("record_id", "norm", "tokens")
     a = thin.select(
