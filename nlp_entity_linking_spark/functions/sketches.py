@@ -1,0 +1,99 @@
+"""Mergeable sketch operators (beyond SURVEY.md §2 — the "novel sketch"
+slot of the driver brief's training-data-pipeline additions).
+
+Why sketches at 100 TB: exact distinct counts need a full shuffle of every
+distinct value; a DataSketches HLL sketch is a FIXED-SIZE (2^lgk registers)
+mergeable summary, so per-partition/per-shard sketches combine map-side and
+across tables/days without re-reading data — the canonical pattern for
+corpus vocabulary tracking, dedup-rate monitoring, and per-language token
+accounting over a crawl. All functions here are thin declarative wrappers
+over Spark's built-in DataSketches HLL / quantile-digest aggregates (JVM
+side, no UDFs); the VALUE they add is the documented merge discipline:
+
+* build once per shard  -> `distinct_sketch_per_group`
+* store the binary      -> sketch column survives in parquet/catalog tables
+* merge, never rebuild  -> `merge_sketches` (hll_union_agg)
+
+Estimates are approximate (~1.6% relative standard error at the default
+lgk=12) and therefore deliberately NOT in the DuckDB oracle set (different
+HLL implementations disagree legitimately, and DataSketches' HIP estimator
+is even build-order dependent); correctness is pytest-gated against exact
+counts (tests/test_sketches.py), including merge-tracks-direct and the
+cross-partition-layout error bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12  # 4 KiB registers -> ~1.6% relative standard error
+
+
+def distinct_sketch_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One HLL sketch (binary) + its estimate per group. The sketch column
+    is the mergeable artifact — persist it; downstream readers union
+    sketches instead of recounting raw values."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(value_col, F.lit(lgk))
+        ).alias("approx_distinct"),
+    )
+
+
+def merge_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union sketches (optionally regrouped coarser) WITHOUT touching raw
+    data — the operation that makes per-day / per-shard summaries roll up
+    to corpus totals for free. group_cols=None -> one global row."""
+    agg = [
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            "approx_distinct"
+        )
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)
+
+
+def token_vocabulary_sketch(
+    docs: DataFrame,
+    tokens_col: str,
+    group_col: str = "lang",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-language vocabulary-size tracking for a document corpus: explode
+    tokens once, sketch per language. The explode is the only data-sized
+    cost; the shuffle moves fixed-size sketches, not token sets."""
+    ex = docs.select(group_col, F.explode(tokens_col).alias("_tok"))
+    return distinct_sketch_per_group(ex, [group_col], "_tok", lgk)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable approximate quantiles (Spark's built-in percentile digest;
+    error <= 1/accuracy of rank). The scale counterpart to the exact-median
+    oracle query (q:median_qty): exact percentiles need a global sort,
+    digests combine map-side."""
+    agg = [
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probabilities]), accuracy
+        ).alias("quantiles")
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*agg)
+    return df.agg(*agg)

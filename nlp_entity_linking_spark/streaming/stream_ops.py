@@ -283,6 +283,7 @@ def incremental_er(
     run_id: str = "stream",
     checkpoint_dir: str | None = None,
     cfg=None,
+    compact_every: int | None = None,
 ):
     """ST1+ST6: incremental entity resolution with INCREMENTAL BLOCKING —
     each micro-batch blocks only its NEW records against the committed
@@ -411,6 +412,13 @@ def incremental_er(
             # external-reader alias (flipped after the epoch commit;
             # staleness on crash is consistent-previous-state, never torn)
             cat.write_alias("clusters", f"clusters_epoch_{epoch_id}")
+            # AUTO-COMPACTION: foreachBatch batches run strictly
+            # sequentially, so right after this batch's commit is a safe
+            # compaction point (no concurrent epoch-list writer exists);
+            # a crash mid-compaction leaves this batch's committed state
+            # visible and the next trigger retries nothing.
+            if compact_every and len(all_epochs) >= compact_every:
+                compact(spark, out_dir, run_id)
         finally:
             for df in cached:
                 df.unpersist()
@@ -444,6 +452,9 @@ def compact(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     Run between triggers (the availableNow pattern: query finished or
     stopped) — process_batch snapshots the epoch list at batch start, so a
     concurrent flip mid-batch would be clobbered by that batch's commit.
+    incremental_er(compact_every=N) runs this automatically right after
+    every Nth epoch's commit, inside the (strictly sequential) foreachBatch
+    callback — the always-safe compaction point.
 
     Returns {"epoch": c<n>, "n_epochs_folded": k}; no-op dict when there is
     nothing to fold."""

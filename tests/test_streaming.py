@@ -316,6 +316,35 @@ def test_incremental_er_compaction(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_er_auto_compaction(spark, tmp_path):
+    """compact_every=2 keeps the visible epoch list bounded (compaction
+    fires inside the sequential foreachBatch callback after every 2nd
+    epoch) while the output stays a valid full partition of the corpus."""
+    from nlp_entity_linking_spark.functions.similarity import ScoreModel
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    pages, _ = gen_pages(spark, 200)
+    path = str(tmp_path / "pages_in")
+    pages.repartition(40).write.mode("overwrite").parquet(path)  # 5 batches
+    out = str(tmp_path / "cat")
+    cfg = P.PipelineConfig(
+        use_snb=False, model=ScoreModel(weights=(2.0, 8.0, 0.0), bias=-6.0)
+    )
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out, "sa",
+        cfg=cfg, compact_every=2,
+    )
+    q.awaitTermination(600)
+    cat = Catalog(out, "sa")
+    meta = cat.committed_meta("epoch")
+    assert len(meta["epochs"]) <= 2, meta  # never grows past the knob
+    assert meta["n_compactions"] >= 2, meta
+    records = ST.read_er_records(spark, out, "sa")
+    clusters = cat.read(spark, "clusters")
+    assert records.count() == clusters.count() == 200
+    assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0
+
+
 def test_incremental_er_foreach_batch(spark, tmp_path):
     """Incremental blocking: >=2 micro-batches, per-batch scored pairs are
     only the pairs TOUCHING that batch's new records (never a full corpus
