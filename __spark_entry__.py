@@ -826,6 +826,22 @@ def q_neardup_embeddings_lsh(spark, sf_dir):
     return cosine_neardup_pairs(e, threshold=0.35, n_planes=6, n_tables=8)
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """Production IVF-Flat path: KMeans coarse quantizer trained on a
+    bounded deterministic sample, inverted-list probe, exact-cosine verify.
+    Approximate (data-dependent centroids) -> rows-only driver check; the
+    probe/verify machinery has its own oracle row (q:ivf_verify) and recall
+    is pytest-gated vs brute force (test_ann)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=10, n_cells=8, n_probe=3, seed=7)
+
+
 def q_window_tumbling(spark, sf_dir):
     """ST4 batch analog: tumbling 1-hour event windows."""
     _prep(spark)
@@ -998,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_sql": q_grouping_sets_sql,
         "neardup_rp_verify": q_neardup_rp_verify,
         "ivf_verify": q_ivf_verify,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "string_funcs_parts": q_string_funcs_parts,
         "union_docs": q_union_docs,
         "ntile_orders": q_ntile_orders,

@@ -48,6 +48,16 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def guarded_l2norm(a) -> Column:
+    """L2 norm floored at 1e-12 — the norm to ATTACH for verify stages: an
+    all-zero embedding otherwise turns the ANSI-mode cosine division into a
+    hard DIVIDE_BY_ZERO job failure; with the floor it scores cos=0 against
+    everything (the UDF paths apply the same guard). For any non-zero
+    vector greatest(norm, 1e-12) IS the norm bit-for-bit, so oracle rows
+    are unaffected."""
+    return F.greatest(l2norm(a), F.lit(1e-12))
+
+
 def cosine_with_norms(a, b, norm_a, norm_b) -> Column:
     """Cosine when the per-record L2 norms are already materialized: ONE
     O(dim) interpreted-HOF dot per pair instead of three (HOF lambdas never
@@ -77,12 +87,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        l2norm(F.col(vec_col)).alias("_qn"),
+        guarded_l2norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cv"),
-        l2norm(F.col(vec_col)).alias("_cn"),
+        guarded_l2norm(F.col(vec_col)).alias("_cn"),
     )
     sims = c.join(F.broadcast(q)).select(
         query_id_col,
@@ -313,12 +323,12 @@ def _verify_cosine(
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cv"),
-        l2norm(F.col(vec_col)).alias("_cn"),
+        guarded_l2norm(F.col(vec_col)).alias("_cn"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        l2norm(F.col(vec_col)).alias("_qn"),
+        guarded_l2norm(F.col(vec_col)).alias("_qn"),
     )
     return (
         cand.join(c, id_col)
@@ -470,7 +480,7 @@ def cosine_neardup_pairs(
     c = corpus.select(
         F.col(id_col).alias("record_id"),
         F.col(vec_col).alias("_v"),
-        l2norm(F.col(vec_col)).alias("_n"),
+        guarded_l2norm(F.col(vec_col)).alias("_n"),
     )
     a = c.select(
         F.col("record_id").alias("id_a"),

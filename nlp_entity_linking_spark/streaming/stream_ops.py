@@ -332,6 +332,9 @@ def incremental_er(
         return cat.committed_meta("epoch") or {"epochs": [], "n_compactions": 0}
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t_batch = _time.perf_counter()
         cached: list[DataFrame] = []
         try:
             meta = _epoch_meta()
@@ -407,6 +410,8 @@ def incremental_er(
                 {
                     "n_new_records": new_records.count(),
                     "n_pairs_scored": n_pairs,
+                    "n_visible_epochs": len(epochs),
+                    "wall_ms": int((_time.perf_counter() - t_batch) * 1000),
                 },
             )
             # external-reader alias (flipped after the epoch commit;

@@ -202,6 +202,22 @@ def test_quantized_ivf_cells_deterministic_and_partitioning(spark):
     assert again == one
 
 
+def test_ivf_topk_tolerates_zero_vector(spark):
+    """An all-zero embedding must not poison the KMeans fit with NaNs (the
+    plan-side normalization guards the norm like the UDF side does)."""
+    corpus, _ = _corpus(spark, n=60, dim=8)
+    zero = spark.createDataFrame(
+        [(999, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    corpus = corpus.unionByName(zero)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann.ivf_topk(corpus, queries, k=3, n_cells=4, n_probe=2, seed=1).collect()
+    assert len(got) > 0
+    assert all(r.cos_sim == r.cos_sim for r in got)  # no NaN in results
+
+
 def test_cosine_neardup_pairs(spark):
     rng = np.random.RandomState(1)
     base = rng.randn(40, 16).astype(np.float32)
