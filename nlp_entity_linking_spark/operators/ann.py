@@ -150,6 +150,57 @@ def rp_signatures(n_planes: int, n_tables: int, seed: int):
     return sigs
 
 
+def rp_probe_signatures(n_planes: int, n_tables: int, seed: int, n_probe: int):
+    """Pandas-UDF factory for MULTI-PROBE query signatures (Lv et al.,
+    VLDB'07): per table, the base random-hyperplane signature plus the
+    (n_probe - 1) single-bit-flip variants at the planes with the smallest
+    projection margin |v.p| — the buckets a near neighbor most likely fell
+    into when it landed just across a hyperplane. Same seeded worker-side
+    plane matrix as rp_signatures (bit-compatible base signatures), so
+    probe buckets join directly against rp_buckets corpus output.
+
+    Raises recall without more tables or corpus scans: only the (small)
+    query side fans out x n_probe. Returns array<long> of length
+    n_tables * n_probe, ordered [table0 probes..., table1 probes...]."""
+    if not 0 < n_planes <= 63:
+        raise ValueError("n_planes must be in 1..63 (packed into a signed long)")
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+
+    @F.pandas_udf("array<long>")
+    def sigs(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes_t = None
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack(vecs.to_numpy()).astype(np.float64)
+            if planes_t is None:
+                dim = v.shape[1]
+                planes_t = np.concatenate(
+                    [
+                        np.random.RandomState(seed + 1000 * t).randn(n_planes, dim)
+                        for t in range(n_tables)
+                    ]
+                ).T
+            proj = v @ planes_t  # (n, tables*planes)
+            bits = proj > 0
+            packed = (
+                bits.reshape(len(v), n_tables, n_planes) * weights
+            ).sum(axis=2)  # (n, tables)
+            # flip order: ascending |margin| per table
+            margins = np.abs(proj).reshape(len(v), n_tables, n_planes)
+            flip_rank = np.argsort(margins, axis=2)  # (n, tables, planes)
+            out = np.empty((len(v), n_tables, n_probe), dtype=np.int64)
+            out[:, :, 0] = packed
+            for p in range(1, n_probe):
+                out[:, :, p] = packed ^ weights[flip_rank[:, :, p - 1]]
+            yield pd.Series(list(out.reshape(len(v), -1)))
+
+    return sigs
+
+
 def rp_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int, seed: int
 ) -> DataFrame:
@@ -162,6 +213,29 @@ def rp_buckets(
     ).select(
         id_col,
         F.format_string("t%d:%d", F.col("_tbl"), F.col("_sig")).alias("bucket"),
+    )
+
+
+def rp_probe_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    n_probe: int,
+) -> DataFrame:
+    """Multi-probe QUERY buckets: n_tables * n_probe thin rows per query,
+    bucket strings bit-compatible with rp_buckets corpus output (the probe
+    index maps back to its table via pos div n_probe)."""
+    sig_udf = rp_probe_signatures(n_planes, n_tables, seed, n_probe)
+    return df.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("_pos", "_sig")
+    ).select(
+        id_col,
+        F.format_string(
+            "t%d:%d", (F.col("_pos") / n_probe).cast("int"), F.col("_sig")
+        ).alias("bucket"),
     )
 
 
@@ -280,11 +354,16 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates = same random-hyperplane bucket in any
     of n_tables tables, exact cosine only on candidates.
 
-    Recall/cost dial: more tables or fewer planes -> more candidates.
+    Recall/cost dials: more tables or fewer planes -> more candidates;
+    n_probe > 1 additionally probes each table's nearest
+    single-bit-flip buckets (multi-probe LSH, Lv et al. VLDB'07) — recall
+    comparable to more tables WITHOUT growing the corpus bucket table or
+    rescanning the corpus; only the small query side fans out.
 
     Shuffle anatomy: corpus scanned once for thin buckets (id + bucket
     string — vectors do NOT ride the explode), broadcast bucket join against
@@ -293,7 +372,13 @@ def lsh_topk(
     `dim` is accepted for API compatibility; the hyperplanes self-size from
     the data worker-side, so no driver scan happens either way."""
     cb = rp_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed)
-    qb = rp_buckets(queries, query_id_col, vec_col, n_planes, n_tables, seed)
+    qb = (
+        rp_probe_buckets(
+            queries, query_id_col, vec_col, n_planes, n_tables, seed, n_probe
+        )
+        if n_probe > 1
+        else rp_buckets(queries, query_id_col, vec_col, n_planes, n_tables, seed)
+    )
     cand = (
         cb.join(F.broadcast(qb), "bucket")
         .select(query_id_col, id_col)

@@ -92,6 +92,59 @@ def test_lsh_topk_dim768_recall_and_bounded_plan(spark):
     assert len(exact_set & approx_set) / len(exact_set) >= 0.8
 
 
+def test_multiprobe_lsh_recall(spark):
+    """Multi-probe LSH: probing each table's nearest bit-flip buckets
+    recovers recall that plain LSH at the same (few) tables misses, without
+    growing the corpus bucket table — the cheap-recall dial for the scale
+    path. Base probe of the probe UDF must be bit-identical to
+    rp_signatures (corpus/query bucket compatibility)."""
+    rng = np.random.RandomState(13)
+    centers = rng.randn(40, 32)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.12 * rng.randn(32)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(12)], "query_id long, embedding array<float>"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann.brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann.lsh_topk(
+                corpus, queries, k=5, n_planes=14, n_tables=2,
+                seed=3, n_probe=n_probe,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, (r1, r4)  # probes must buy recall on this fixture
+    assert r4 >= 0.8, (r1, r4)
+    # base-probe bit-compatibility: probe udf slot 0 == rp_signatures output
+    base = {
+        r.vec_id: r.s
+        for r in corpus.select(
+            "vec_id",
+            ann.rp_signatures(14, 2, 3)("embedding").alias("s"),
+        ).collect()
+    }
+    probed = {
+        r.vec_id: r.s
+        for r in corpus.select(
+            "vec_id",
+            ann.rp_probe_signatures(14, 2, 3, 3)("embedding").alias("s"),
+        ).collect()
+    }
+    for vid, sigs in base.items():
+        assert probed[vid][0] == sigs[0] and probed[vid][3] == sigs[1]
+
+
 def test_rp_signatures_deterministic_across_partitionings(spark):
     """Worker-side seeded planes: same vectors -> same signatures regardless
     of partition count / batch boundaries."""
