@@ -180,6 +180,69 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_variant_events(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured props: parse_json -> open
+    VariantType column -> typed variant_get extraction (vs q_json_extract's
+    schema-ful from_json). Same ANSI-SQL-mirrorable output: per-type counts
+    of events whose props.k clears a threshold, plus min/max of k."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_percent_rank_orders(spark, sf_dir):
+    """G2 breadth: percent_rank + cume_dist windows (deciles of order value
+    within market segment; int outputs for cross-engine hashing)."""
+    _prep(spark)
+    from pyspark.sql import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        j.select(
+            "c_mktsegment",
+            F.floor(F.percent_rank().over(w) * 10).cast("long").alias("pr_decile"),
+            F.floor(F.cume_dist().over(w) * 10).cast("long").alias("cd_decile"),
+        )
+        .groupBy("c_mktsegment", "pr_decile", "cd_decile")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_lateral_orders(spark, sf_dir):
+    """E breadth: LATERAL correlated subquery — each customer's max order
+    price and count via a lateral per-row subquery (Catalyst rewrites to a
+    join; DuckDB runs the same ANSI LATERAL)."""
+    _prep(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_cust_l")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ord_l")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.max_price, l.n_orders
+        FROM _cust_l c,
+        LATERAL (
+          SELECT max(o_totalprice) AS max_price, count(*) AS n_orders
+          FROM _ord_l o WHERE o.o_custkey = c.c_custkey
+        ) l
+        WHERE l.n_orders > 0
+        """
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """G4/G5: sessionization via lag + gap counting (30-min gap)."""
     _prep(spark)
@@ -1015,6 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_rp_verify": q_neardup_rp_verify,
         "ivf_verify": q_ivf_verify,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "variant_events": q_variant_events,
+        "percent_rank_orders": q_percent_rank_orders,
+        "lateral_orders": q_lateral_orders,
         "string_funcs_parts": q_string_funcs_parts,
         "union_docs": q_union_docs,
         "ntile_orders": q_ntile_orders,
@@ -1294,6 +1360,37 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, c.v), 6) AS cos6
             FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
             WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+        """,
+        "variant_events": """
+            SELECT event_type, count(*) AS n,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                  FROM events)
+            WHERE k >= 50
+            GROUP BY event_type
+        """,
+        "percent_rank_orders": """
+            SELECT c_mktsegment, pr_decile, cd_decile, count(*) AS n
+            FROM (
+              SELECT c_mktsegment,
+                     CAST(floor(percent_rank() OVER w * 10) AS BIGINT)
+                       AS pr_decile,
+                     CAST(floor(cume_dist() OVER w * 10) AS BIGINT)
+                       AS cd_decile
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice, o_orderkey))
+            GROUP BY c_mktsegment, pr_decile, cd_decile
+        """,
+        "lateral_orders": """
+            SELECT c.c_custkey, l.max_price, l.n_orders
+            FROM customer c,
+            LATERAL (
+              SELECT max(o_totalprice) AS max_price, count(*) AS n_orders
+              FROM orders o WHERE o.o_custkey = c.c_custkey
+            ) l
+            WHERE l.n_orders > 0
         """,
         "ivf_verify": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

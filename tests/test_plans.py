@@ -119,6 +119,45 @@ def test_pipeline_plans_have_no_scale_killers(spark):
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
 
+def test_ann_dedup_plans_have_no_scale_killers(spark):
+    """The ANN/dedup candidate-generation plans must stay free of
+    CartesianProduct and Exchange SinglePartition (brute_force_topk is the
+    deliberate exception: its broadcast nested-loop is the O(n*q) baseline
+    by contract). Guards the bucket-join shape of every approximate
+    family."""
+    import numpy as np
+
+    from nlp_entity_linking_spark.operators import ann, dedup
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(8).astype(np.float32).tolist()) for i in range(50)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        rows[:3], "query_id long, embedding array<float>"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plans = {
+        "lsh_topk": ann.lsh_topk(corpus, queries, k=3, n_probe=2),
+        "cosine_neardup": ann.cosine_neardup_pairs(corpus, threshold=0.9),
+        "minhash_dedup": dedup.minhash_dedup(docs),
+        "exact_dedup": dedup.exact_dedup(docs),
+        "jaccard": dedup.ngram_jaccard_pairs(
+            docs,
+            docs.select(F.col("doc_id").alias("id_a")).withColumn(
+                "id_b", F.col("id_a") + 1
+            ),
+            n=1,
+        ),
+    }
+    for name, df in plans.items():
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_build_features_fires_exactly_one_job(spark):
     """Plan-construction cost audit: building the features stage must fire
     exactly ONE Spark job — the records count that powers tfidf's n_docs
