@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_page
+from ..functions.extract import extract_page, extract_page_expr
 from ..functions.normalize import char_shingles, normalize, tokenize
 
 RECORD_COLS = (
@@ -62,6 +62,7 @@ def extract_records(
     langs: tuple[str, ...] | None = None,
     shingle_n: int = 3,
     extract_first: bool = False,
+    engine: str = "python",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> records (RECORD_COLS).
 
@@ -83,7 +84,22 @@ def extract_records(
     100k pages, quiet-host medians of 6): dedup-first 5.9s vs extract-first
     7.0s at the fixture's ~1 KB html bodies and ~10% re-crawl — so
     dedup-first is the default; at real crawl html sizes (~100 KB bodies)
-    the balance flips to extract-first, which is why the order is a flag."""
+    the balance flips to extract-first, which is why the order is a flag.
+
+    engine: "python" (default) extracts via the Arrow/pandas UDF; "jvm"
+    runs byte-identical codegen string expressions instead (test-enforced
+    equality on valid UTF-8). MEASURED, against the intuition that
+    avoiding the Arrow crossing must win: python is faster at BOTH ~1 KB
+    html (2.7s vs 3.9s warm per 100k pages) and ~40 KB html (79s vs 107s
+    per 10k) — the regex CPU dominates the transfer, and Java's
+    backtracking engine is slower than CPython's sre on the
+    reluctant-dotall html patterns. "jvm" remains the right choice when
+    executors must run with NO Python workers at all (pure-JVM clusters),
+    or for plans that want extraction fused into codegen with other
+    column work."""
+    if engine not in ("jvm", "python"):
+        raise ValueError(f"unknown extraction engine: {engine!r}")
+    page_fn = extract_page_expr if engine == "jvm" else extract_page
     if extract_first:
         df = pages.select(
             "url",
@@ -91,7 +107,7 @@ def extract_records(
             "warc_ts",
             F.col("html").isNotNull().alias("_has_html"),
             F.xxhash64("html").alias("_hh"),
-            extract_page("html").alias("_page"),
+            page_fn("html").alias("_page"),
         ).select(
             "url",
             "lang",
@@ -118,7 +134,7 @@ def extract_records(
         df = df.select(
             "url",
             "lang",
-            extract_page("html").alias("_page"),
+            page_fn("html").alias("_page"),
         ).select(
             "url",
             "lang",
