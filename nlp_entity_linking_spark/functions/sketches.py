@@ -38,12 +38,15 @@ def distinct_sketch_per_group(
 ) -> DataFrame:
     """One HLL sketch (binary) + its estimate per group. The sketch column
     is the mergeable artifact — persist it; downstream readers union
-    sketches instead of recounting raw values."""
-    return df.groupBy(*group_cols).agg(
-        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(value_col, F.lit(lgk))
-        ).alias("approx_distinct"),
+    sketches instead of recounting raw values. (Estimate derives from the
+    aggregated sketch in a post-projection — one sketch build, not two.)"""
+    out = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch")
+    )
+    return out.select(
+        *group_cols,
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
     )
 
 
