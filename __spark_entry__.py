@@ -180,6 +180,35 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_url_canon_docs(spark, sf_dir):
+    """Webtext staple: URL canonicalization (scheme/host lowercase, default
+    ports, tracking params, fragments, trailing separators). Messy urls are
+    synthesized deterministically from doc_id so every rule fires; the
+    oracle builds the identical strings and applies the identical RE2-safe
+    patterns (replacement dialect mapped $1 -> \\1, global flag explicit)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Site"), (i % 20).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Path"), (i % 5).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=a&id="), i.cast("string"), F.lit("&gclid=zz")
+            ),
+        ).otherwise(F.lit("?utm_campaign=c")),
+        F.lit("#sec"), (i % 3).cast("string"),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), canonical_url(url).alias("canon")
+    )
+
+
 def q_variant_events(spark, sf_dir):
     """Spark 4 VARIANT path for semi-structured props: parse_json -> open
     VariantType column -> typed variant_get extraction (vs q_json_extract's
@@ -1078,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_rp_verify": q_neardup_rp_verify,
         "ivf_verify": q_ivf_verify,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "url_canon_docs": q_url_canon_docs,
         "variant_events": q_variant_events,
         "percent_rank_orders": q_percent_rank_orders,
         "lateral_orders": q_lateral_orders,
@@ -1360,6 +1390,50 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, c.v), 6) AS cos6
             FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
             WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.35
+        """,
+        "url_canon_docs": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.Example.COM'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+                     || '/Path' || CAST(doc_id % 5 AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '?utm_source=a&id=' || CAST(doc_id AS VARCHAR)
+                                  || '&gclid=zz'
+                             ELSE '?utm_campaign=c' END
+                     || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head
+              FROM u),
+            lowered AS (
+              SELECT doc_id, url,
+                     CASE WHEN head = '' THEN url
+                          ELSE lower(head) || substr(url, length(head) + 1)
+                     END AS c
+              FROM h)
+            SELECT doc_id, url,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(c, '#.*$', '', 'g'),
+                            ':80(/|$)', '\1', 'g'),
+                          ':443(/|$)', '\1', 'g'),
+                        '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*',
+                        '\1', 'g'),
+                      '\?&+', '?', 'g'),
+                    '&&+', '&', 'g'),
+                  '[?&]+$', '', 'g'),
+                '/$', '', 'g') AS canon
+            FROM lowered
         """,
         "variant_events": """
             SELECT event_type, count(*) AS n,

@@ -1,0 +1,52 @@
+"""URL canonicalization: handcrafted expected outputs per rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlp_entity_linking_spark.functions.urls import canonical_url, url_parts
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM/Path", "http://www.example.com/Path"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:80", "http://a.com"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default kept
+    ("http://a.com/x#frag", "http://a.com/x"),
+    ("http://a.com/x?utm_source=t&id=3", "http://a.com/x?id=3"),
+    ("http://a.com/x?id=3&utm_medium=m&y=2", "http://a.com/x?id=3&y=2"),
+    ("http://a.com/x?utm_campaign=c", "http://a.com/x"),
+    ("http://a.com/x?fbclid=abc&gclid=def", "http://a.com/x"),
+    ("http://a.com/path/", "http://a.com/path"),
+    ("http://a.com/Path?Q=CaseKept", "http://a.com/Path?Q=CaseKept"),
+    ("not a url at all", "not a url at all"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame(CASES, "raw string, want string")
+    got = df.select("raw", "want", canonical_url("raw").alias("canon")).collect()
+    for r in got:
+        assert r.canon == r.want, (r.raw, r.canon, r.want)
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [("https://Host.com:81/a/b?x=1&y=2#z",)], "u string"
+    )
+    row = df.select(*url_parts("u")).collect()[0]
+    assert row.host == "Host.com"
+    assert row.path == "/a/b"
+    assert row.query == "x=1&y=2"
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalizing a canonical url is a no-op (fixed point) — required
+    for repeated pipeline application over already-clean catalogs."""
+    df = spark.createDataFrame(CASES, "raw string, want string")
+    got = df.select(
+        canonical_url("raw").alias("c1"),
+        canonical_url(canonical_url("raw")).alias("c2"),
+    ).collect()
+    for r in got:
+        assert r.c1 == r.c2
