@@ -420,6 +420,17 @@ def q_token_jaccard_docs(spark, sf_dir):
     return ngram_jaccard_pairs(d, pairs, n=1)
 
 
+def q_containment_docs(spark, sf_dir):
+    """Dedup family #4b: Broder CONTAINMENT (|A∩B|/|A|, both directions) on
+    deterministic consecutive pairs — the asymmetric excerpt/quote detector
+    Jaccard dilutes. int/int divisions -> cross-engine exact."""
+    _prep(spark)
+    from nlp_entity_linking_spark.operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, _consecutive_doc_pairs(d), n=1)
+
+
 def q_minhash_dedup_docs(spark, sf_dir):
     """Dedup family #2: MinHash+LSH near-dup groups (xxhash64-based — no SQL
     oracle; driver records rows-only, pytest covers semantics)."""
@@ -1108,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_verify": q_ivf_verify,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "url_canon_docs": q_url_canon_docs,
+        "containment_docs": q_containment_docs,
         "variant_events": q_variant_events,
         "percent_rank_orders": q_percent_rank_orders,
         "lateral_orders": q_lateral_orders,
@@ -1230,6 +1242,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.dup_group,
                    d.doc_id = g.dup_group AS is_canonical
             FROM d JOIN g USING (dig)
+        """,
+        "containment_docs": f"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct({_TOKS_SQL.format(c='text')}) AS s
+                       FROM documents),
+                 j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_filter(a.s, x -> list_contains(b.s, x)))
+                                AS inter,
+                              len(a.s) AS na, len(b.s) AS nb
+                       FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+            SELECT id_a, id_b,
+                   CASE WHEN na > 0 THEN inter / na END AS cont_a,
+                   CASE WHEN nb > 0 THEN inter / nb END AS cont_b
+            FROM j
         """,
         "token_jaccard_docs": f"""
             WITH t AS (SELECT doc_id,

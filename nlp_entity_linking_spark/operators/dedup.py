@@ -249,6 +249,38 @@ def simhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """pairs + Broder containment both ways: cont_a = |A∩B|/|A| (how much
+    of A lives inside B), cont_b likewise. The asymmetric complement to
+    Jaccard for crawl dedup: an excerpt/quotation page scores cont≈1
+    against its source while symmetric Jaccard is diluted by the larger
+    doc's size (Broder '97, resemblance vs containment). NULL when the
+    respective side has zero grams."""
+    g = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(tokenize(normalize(text_col)), n)).alias("_g"),
+    )
+    a = g.select(F.col(id_col).alias("id_a"), F.col("_g").alias("ga"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col("_g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.size("ga") > 0, inter / F.size("ga")).alias("cont_a"),
+            F.when(F.size("gb") > 0, inter / F.size("gb")).alias("cont_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -93,3 +93,32 @@ def test_ngram_jaccard_pairs(spark):
     assert got[(0, 1)] == 1.0
     assert 0.3 < got[(0, 2)] < 1.0
     assert got[(0, 3)] < 0.05
+
+
+def test_ngram_containment_asymmetry(spark):
+    """Containment detects an excerpt inside a larger doc (cont_a ~ 1)
+    where symmetric Jaccard is diluted by the size difference."""
+    from nlp_entity_linking_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"word{i}" for i in range(100))
+    excerpt = " ".join(f"word{i}" for i in range(10, 20))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, big), (3, "")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 2)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in ngram_containment_pairs(docs, pairs, n=1).collect()
+    }
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0  # excerpt fully contained in source
+    assert cb == 0.1  # source only 10% covered by the excerpt
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, pairs, n=1).collect()
+    }
+    assert jac[(1, 2)] == 0.1  # symmetric jaccard dilutes the signal
+    assert got[(3, 2)][0] is None and got[(3, 2)][1] == 0.0  # empty side NULL
