@@ -181,25 +181,39 @@ def q_json_extract(spark, sf_dir):
 
 
 def q_url_canon_docs(spark, sf_dir):
-    """Webtext staple: URL canonicalization (scheme/host lowercase, default
-    ports, tracking params, fragments, trailing separators). Messy urls are
-    synthesized deterministically from doc_id so every rule fires; the
-    oracle builds the identical strings and applies the identical RE2-safe
-    patterns (replacement dialect mapped $1 -> \\1, global flag explicit)."""
+    """Webtext staple: URL canonicalization, component-anchored (scheme/
+    authority lowercase, scheme-conditional default-port strip on the
+    authority only, tracking params dropped from the query only, fragment
+    drop, trailing path slash). Messy urls are synthesized deterministically
+    from doc_id so every rule fires AND every mangle-trap appears (port
+    lookalikes in paths, literal '&' in paths, '/' in query values, wrong
+    default port for the scheme); the oracle builds the identical strings
+    and applies the identical RE2-safe component logic (replacement dialect
+    mapped, global flag explicit)."""
     _prep(spark)
     from nlp_entity_linking_spark.functions.urls import canonical_url
 
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
+    sch = F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS"))
+    # i%3==0: the scheme's own default port (must strip); i%3==1: the OTHER
+    # scheme's default port (must keep); else no port.
+    port = (
+        F.when(i % 3 == 0, F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+        .when(i % 3 == 1, F.when(i % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .otherwise(F.lit(""))
+    )
     url = F.concat(
-        F.lit("HTTP://Site"), (i % 20).cast("string"), F.lit(".Example.COM"),
-        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        sch, F.lit("://Site"), (i % 20).cast("string"), F.lit(".Example.COM"),
+        port,
         F.lit("/Path"), (i % 5).cast("string"),
+        F.when(i % 7 == 0, F.lit("/a:443/b&c")).otherwise(F.lit("")),
         F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(
             i % 2 == 0,
             F.concat(
-                F.lit("?utm_source=a&id="), i.cast("string"), F.lit("&gclid=zz")
+                F.lit("?utm_source=a&id="), i.cast("string"),
+                F.lit("&gclid=zz&next=/"),
             ),
         ).otherwise(F.lit("?utm_campaign=c")),
         F.lit("#sec"), (i % 3).cast("string"),
@@ -1420,46 +1434,60 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_docs": r"""
             WITH u AS (
               SELECT doc_id,
-                     'HTTP://Site' || CAST(doc_id % 20 AS VARCHAR)
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END
+                     || '://Site' || CAST(doc_id % 20 AS VARCHAR)
                      || '.Example.COM'
-                     || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                              CASE WHEN doc_id % 2 = 0 THEN ':80'
+                                   ELSE ':443' END
+                             WHEN doc_id % 3 = 1 THEN
+                              CASE WHEN doc_id % 2 = 0 THEN ':443'
+                                   ELSE ':80' END
+                             ELSE '' END
                      || '/Path' || CAST(doc_id % 5 AS VARCHAR)
+                     || CASE WHEN doc_id % 7 = 0 THEN '/a:443/b&c'
+                             ELSE '' END
                      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
                      || CASE WHEN doc_id % 2 = 0
                              THEN '?utm_source=a&id=' || CAST(doc_id AS VARCHAR)
-                                  || '&gclid=zz'
+                                  || '&gclid=zz&next=/'
                              ELSE '?utm_campaign=c' END
                      || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
               FROM documents),
-            h AS (
+            c1 AS (
               SELECT doc_id, url,
                      regexp_extract(url,
-                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme
               FROM u),
-            lowered AS (
-              SELECT doc_id, url,
-                     CASE WHEN head = '' THEN url
-                          ELSE lower(head) || substr(url, length(head) + 1)
-                     END AS c
-              FROM h)
+            c2 AS (
+              SELECT *,
+                     lower(substr(head, length(scheme) + 4)) AS auth0,
+                     regexp_replace(substr(url, length(head) + 1),
+                                    '#.*$', '', 'g') AS tail
+              FROM c1),
+            c3 AS (
+              SELECT *,
+                     CASE WHEN scheme = 'http'
+                            THEN regexp_replace(auth0, ':80$', '')
+                          WHEN scheme = 'https'
+                            THEN regexp_replace(auth0, ':443$', '')
+                          ELSE auth0 END AS auth,
+                     regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+                                    '/$', '') AS path,
+                     regexp_replace(
+                       regexp_replace('&' || regexp_extract(tail,
+                                                            '\?(.*)$', 1),
+                         '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+                       '^&', '') AS q
+              FROM c2)
             SELECT doc_id, url,
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(
-                          regexp_replace(
-                            regexp_replace(c, '#.*$', '', 'g'),
-                            ':80(/|$)', '\1', 'g'),
-                          ':443(/|$)', '\1', 'g'),
-                        '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*',
-                        '\1', 'g'),
-                      '\?&+', '?', 'g'),
-                    '&&+', '&', 'g'),
-                  '[?&]+$', '', 'g'),
-                '/$', '', 'g') AS canon
-            FROM lowered
+              CASE WHEN head = '' THEN url
+                   ELSE scheme || '://' || auth || path
+                        || CASE WHEN q = '' THEN '' ELSE '?' || q END
+              END AS canon
+            FROM c3
         """,
         "variant_events": """
             SELECT event_type, count(*) AS n,

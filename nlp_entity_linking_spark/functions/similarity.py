@@ -303,11 +303,17 @@ def score_pairs(
 
     input_partitions: the caller's knowledge of how many partitions feed
     this stage (parquet scan width, an upstream repartition). When omitted,
-    the estimate is spark.sql.shuffle.partitions — right for the hot-path
-    callers, which all feed score_pairs from shuffled joins/aggregations —
-    chosen WITHOUT converting the plan to an RDD (probing the RDD partition
-    count forces physical planning of the whole query just to read a
-    number).
+    the estimate is min(spark.sql.shuffle.partitions, defaultParallelism)
+    — conservative on purpose: the hot-path callers all feed score_pairs
+    from shuffled joins (width = shuffle.partitions), but entry points fed
+    straight from a narrow parquet scan (re-scoring persisted pairs from a
+    tool/notebook) would otherwise inherit shuffle.partitions=200 as the
+    "estimate", defeat the under-partitioning guard, and funnel the
+    CPU-bound UDF through a few Python workers. The estimate is chosen
+    WITHOUT converting the plan to an RDD (probing the RDD partition count
+    forces physical planning of the whole query just to read a number);
+    non-shuffle-fed callers should pass input_partitions explicitly
+    (df.rdd.getNumPartitions() once, on the materialized input).
     """
     stale = [c for c in ("jw", "score") if c in pairs.columns]
     if stale:
@@ -316,7 +322,10 @@ def score_pairs(
     if n_partitions is None:
         n_partitions = 2 * spark.sparkContext.defaultParallelism
     if input_partitions is None:
-        input_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        input_partitions = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism,
+        )
     # repartition only when the input is under-partitioned for the worker
     # pool: a redundant repartition costs a full disk shuffle — in local
     # mode shuffles share ONE disk, so gratuitous shuffles anti-scale.

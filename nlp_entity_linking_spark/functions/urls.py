@@ -5,13 +5,23 @@ Row-local built-ins only — every transform is a whole-stage-codegen string
 expression, and every regex is RE2-safe (no backrefs/lookaround) so the
 DuckDB oracle runs the IDENTICAL patterns (q:url_canon_docs).
 
+Component-anchored (NOT whole-string regex): the url is split into
+scheme / authority / path / query / fragment first, each rule is applied
+only to the component it belongs to, then the pieces are reassembled.
+This is what makes the rules safe — a ':443' inside a path, a literal
+'&' inside a path segment, or a trailing '/' inside a query value are
+never touched (the old whole-string rules mangled all three).
+
 Canonical form (the common normalizations that preserve fetch semantics):
-  * scheme + host lowercased (path/query case preserved)
+  * scheme + authority lowercased (path/query case preserved)
   * fragment dropped (#... never reaches the server)
-  * default ports stripped (:80 http, :443 https)
-  * tracking params dropped (utm_*, fbclid, gclid) wherever they sit in
-    the query string, collapsing the separators they leave behind
-  * trailing '?' (emptied query) and trailing '/' on a path dropped
+  * default port stripped from the AUTHORITY only, conditional on the
+    scheme (:80 for http, :443 for https — an https://h:80 is kept, it
+    really is a non-default port)
+  * tracking params (utm_*, fbclid, gclid) dropped from the QUERY only,
+    via a '&'-sentinel so first/middle/last params all drop cleanly with
+    no leftover separators
+  * emptied query ('?') dropped; trailing '/' dropped from the PATH
 """
 
 from __future__ import annotations
@@ -19,33 +29,43 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (pattern, replacement) applied in order; mirrored verbatim in the oracle
-URL_CANON_RULES: tuple[tuple[str, str], ...] = (
-    (r"#.*$", ""),  # fragment
-    (r":80(/|$)", r"$1"),  # default http port (before any path)
-    (r":443(/|$)", r"$1"),  # default https port
-    (r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", r"$1"),  # tracking
-    (r"\?&+", "?"),  # separators left by dropped first param
-    (r"&&+", "&"),  # separators left by dropped middle params
-    (r"[?&]+$", ""),  # emptied query
-    (r"/$", ""),  # trailing slash
-)
-
-
-def _lower_scheme_host(url: Column) -> Column:
-    # scheme://host[:port] is case-insensitive; path/query are not
-    head = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    tail = F.substring(url, F.length(head) + 1, F.lit(1 << 30))
-    return F.when(head == "", url).otherwise(F.concat(F.lower(head), tail))
+# Component-extraction + per-component patterns; mirrored verbatim in the
+# oracle (replacement dialect mapped $1 -> \1, global flag explicit).
+HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"  # scheme://authority
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+PATH_RE = r"^([^?]*)"  # of the fragment-stripped tail
+QUERY_RE = r"\?(.*)$"
+TRACKING_RE = r"&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*"
 
 
 def canonical_url(url_col) -> Column:
-    """Canonical url as a Column expression (see module docstring)."""
-    c = F.col(url_col) if isinstance(url_col, str) else url_col
-    c = _lower_scheme_host(c)
-    for pat, rep in URL_CANON_RULES:
-        c = F.regexp_replace(c, pat, rep)
-    return c
+    """Canonical url as a Column expression (see module docstring).
+
+    Pure codegen string built-ins; urls with no scheme://authority head
+    pass through unchanged.
+    """
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    head = F.regexp_extract(url, HEAD_RE, 1)
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    # authority = head minus 'scheme://'
+    auth = F.lower(F.substring(head, F.length(scheme) + 4, F.lit(1 << 30)))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    tail = F.substring(url, F.length(head) + 1, F.lit(1 << 30))
+    tail = F.regexp_replace(tail, r"#.*$", "")  # fragment
+    path = F.regexp_extract(tail, PATH_RE, 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(tail, QUERY_RE, 1)
+    # '&'-sentinel: every param (first included) is preceded by '&', so one
+    # anchored pattern drops any tracking param with its own separator.
+    query = F.regexp_replace(F.concat(F.lit("&"), query), TRACKING_RE, "")
+    query = F.regexp_replace(query, r"^&", "")
+    qpart = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+    rebuilt = F.concat(scheme, F.lit("://"), auth, path, qpart)
+    return F.when(head == "", url).otherwise(rebuilt)
 
 
 def url_parts(url_col) -> list[Column]:

@@ -166,6 +166,11 @@ def rp_probe_signatures(n_planes: int, n_tables: int, seed: int, n_probe: int):
         raise ValueError("n_planes must be in 1..63 (packed into a signed long)")
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
+    if n_probe > n_planes + 1:
+        # the flip loop indexes flip_rank[:, :, p-1] along the planes axis;
+        # past n_planes+1 probes it would die with an opaque numpy
+        # IndexError inside the executor UDF
+        raise ValueError("n_probe must be <= n_planes + 1")
 
     @F.pandas_udf("array<long>")
     def sigs(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

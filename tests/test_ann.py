@@ -145,6 +145,18 @@ def test_multiprobe_lsh_recall(spark):
         assert probed[vid][0] == sigs[0] and probed[vid][3] == sigs[1]
 
 
+def test_probe_signature_validation(spark):
+    """n_probe bounds checked up front — a too-large n_probe would die
+    with an opaque IndexError inside the executor UDF otherwise."""
+    import pytest
+
+    with pytest.raises(ValueError, match="n_probe"):
+        ann.rp_probe_signatures(14, 2, 3, n_probe=0)
+    with pytest.raises(ValueError, match="n_planes \\+ 1"):
+        ann.rp_probe_signatures(14, 2, 3, n_probe=16)
+    ann.rp_probe_signatures(14, 2, 3, n_probe=15)  # boundary ok
+
+
 def test_rp_signatures_deterministic_across_partitionings(spark):
     """Worker-side seeded planes: same vectors -> same signatures regardless
     of partition count / batch boundaries."""

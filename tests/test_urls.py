@@ -20,6 +20,17 @@ CASES = [
     ("http://a.com/path/", "http://a.com/path"),
     ("http://a.com/Path?Q=CaseKept", "http://a.com/Path?Q=CaseKept"),
     ("not a url at all", "not a url at all"),
+    # component anchoring — none of these may be mangled:
+    ("http://h/a:443/b", "http://h/a:443/b"),  # port-lookalike in path
+    ("http://h/a:80/", "http://h/a:80"),  # ditto, plus trailing slash
+    ("http://h:443/x", "http://h:443/x"),  # https port on http kept
+    ("https://h:80/x", "https://h:80/x"),  # http port on https kept
+    ("ftp://h:80/x", "ftp://h:80/x"),  # unknown scheme: port kept
+    ("http://a.com/a&b?id=1", "http://a.com/a&b?id=1"),  # '&' in path
+    ("http://a.com/x?next=/", "http://a.com/x?next=/"),  # '/' in query val
+    ("http://a.com/x?xutm_source=1", "http://a.com/x?xutm_source=1"),
+    ("http://a.com/path/?id=1", "http://a.com/path?id=1"),
+    ("http://a.com/x?utm_a=1&utm_b=2&utm_c=3", "http://a.com/x"),
 ]
 
 
