@@ -1106,6 +1106,16 @@ def q_sql_api(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # PINNED at exactly 50 entries: the driver verifies at most 50, and a
+    # 53-entry registry silently dropped the last three (moving_window,
+    # cc_docs, sql_api) off the round-3 scoreboard. Three near-duplicates
+    # are retired to pytest (tests/test_entry.py::test_retired_queries):
+    #   sql_api            -> spark.sql surface already driver-verified by
+    #                         grouping_sets_sql (same temp-view path)
+    #   minhash_dedup_docs -> rows-only; family driver-verified by
+    #                         minhash_verify_docs + minhash_md5_pipeline
+    #   rolling_fp_docs    -> rows-only; family driver-verified by
+    #                         rolling_fp_verify_docs + fingerprint_docs
     return {
         "agg_groupby": q_agg_groupby,
         "filter_pushdown": q_filter_pushdown,
@@ -1121,7 +1131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_parts": q_levenshtein_parts,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_jaccard_docs": q_token_jaccard_docs,
-        "minhash_dedup_docs": q_minhash_dedup_docs,
         "minhash_verify_docs": q_minhash_verify_docs,
         "minhash_md5_pipeline": q_minhash_md5_pipeline,
         "simhash_docs": q_simhash_docs,
@@ -1147,7 +1156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
         "fingerprint_docs": q_fingerprint_docs,
-        "rolling_fp_docs": q_rolling_fp_docs,
         "ann_topk": q_ann_topk,
         "embed_cos_pairs": q_embed_cos_pairs,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -1159,7 +1167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats_docs": q_grouped_stats_docs,
         "moving_window": q_moving_window,
         "cc_docs": q_cc_docs,
-        "sql_api": q_sql_api,
     }
 
 
@@ -1674,13 +1681,5 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n)
             SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
-        """,
-        "sql_api": """
-            SELECT o_orderpriority,
-                   count(*) AS n_lines,
-                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-            GROUP BY o_orderpriority
         """,
     }

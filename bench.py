@@ -88,6 +88,18 @@ def main() -> None:
     extras["pairs_scored"] = n_scored
     extras["pairs_per_sec"] = round(n_scored / timings["er_score"], 1)
 
+    # the production edge path: JVM cheap-reject gate drops certain
+    # non-edges before the Python JW pass (byte-identical edges, pytest
+    # test_score_edges_gate_byte_equal). er_score above stays FULL scoring
+    # — that is the BASELINE.json throughput metric over every candidate —
+    # while this stage times what a deployment actually pays per edge pass.
+    extras["n_edges"] = timed(
+        "er_edges_gated", lambda: P.score_edges(feats, cfg).count()
+    )
+    extras["gate_kept_pairs"] = feats.filter(
+        S.may_reach_threshold(cfg.model, cfg.score_threshold)
+    ).count()
+
     edges = scored.filter(F.col("score") >= cfg.score_threshold)
     clusters = P.cluster(records, edges, cfg).persist()
     timed("er_connected_components", clusters.count)

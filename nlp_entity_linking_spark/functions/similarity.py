@@ -312,8 +312,8 @@ def score_pairs(
     CPU-bound UDF through a few Python workers. The estimate is chosen
     WITHOUT converting the plan to an RDD (probing the RDD partition count
     forces physical planning of the whole query just to read a number);
-    non-shuffle-fed callers should pass input_partitions explicitly
-    (df.rdd.getNumPartitions() once, on the materialized input).
+    non-shuffle-fed callers should pass input_partitions explicitly (probe
+    the materialized input's partition count once, caller-side).
     """
     stale = [c for c in ("jw", "score") if c in pairs.columns]
     if stale:
@@ -345,6 +345,35 @@ def score_pairs(
             yield pdf
 
     return pairs.mapInPandas(scorer, schema=out_schema)
+
+
+def may_reach_threshold(model: ScoreModel, threshold: float) -> Column:
+    """JVM cheap-reject gate for the Python Jaro-Winkler pass: True iff
+    SOME jw in [0, 1] could push this pair's score to `threshold`.
+
+    score = sigmoid(w1*jw + w2*tsl + w3*cos + b) is monotone in z, and jw
+    is bounded in [0, 1], so z_max = w2*tsl + w3*cos + b + max(w1, 0) is an
+    exact upper bound; z_max < logit(threshold) proves score < threshold
+    for EVERY possible jw. tsl and cos are already JVM columns, so the
+    gate is a codegen filter — pairs it rejects are certain non-edges and
+    never pay the Arrow crossing or the per-pair jw DP. EXACT pruning, not
+    approximate: the surviving set contains every pair score_pairs would
+    pass at `threshold` (tests prove set equality of the edges).
+
+    In a webtext ER pipeline most candidate pairs sit far below the match
+    band, so this shrinks the Python surface to the band + accepts.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    import math
+
+    w1, w2, w3 = model.weights
+    z_max = (
+        F.lit(w2) * F.col("tsl")
+        + F.lit(w3) * F.col("cos")
+        + F.lit(model.bias + max(w1, 0.0))
+    )
+    return z_max >= math.log(threshold / (1.0 - threshold))
 
 
 def logistic_expr(model: ScoreModel) -> Column:

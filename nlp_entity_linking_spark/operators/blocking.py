@@ -78,18 +78,20 @@ def minhash_signatures_df(
 
 
 def band_keys(sig_col, bands: int = DEFAULT_BANDS, k: int = DEFAULT_K):
-    """LSH banding: array of `bands` compact string block keys.
+    """LSH banding: array of `bands` compact 8-byte block keys.
 
-    Key = 'mh:<band>:<xxhash64 of the signature slice>' — hashing the slice
-    keeps shuffle keys small regardless of band width.
+    Key = xxhash64('mh', band, signature slice) — a LONG, not a string:
+    block keys are the biggest shuffle keys in the pipeline, and 8-byte
+    hash keys shuffle + compare cheaper than formatted strings (measured on
+    the TF-IDF exchanges first, then here; see README). The family tag
+    'mh' is folded into the hash so different blockers can't collide by
+    construction of their inputs.
     """
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     r = k // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.format_string(
-            "mh:%d:%d", b, F.xxhash64(b, F.slice(sig, b * r + 1, r))
-        ),
+        lambda b: F.xxhash64(F.lit("mh"), b, F.slice(sig, b * r + 1, r)),
     )
 
 
@@ -105,7 +107,9 @@ def lsh_blocks(
     Fully unrolled column expressions (no higher-order-function lambdas —
     those run interpreted and re-evaluate subexpressions per element): the
     k min-hashes stay as k agg columns and each band key hashes its r
-    columns directly via multi-arg xxhash64.
+    columns directly via multi-arg xxhash64 into an 8-byte LONG key (family
+    tag + band index folded into the hash) — compact shuffle keys for the
+    pipeline's largest exchanges.
     """
     r = k // bands
     ex = records.select("record_id", F.explode(shingles_col).alias("_sh"))
@@ -115,10 +119,10 @@ def lsh_blocks(
     ]
     per = ex.groupBy("record_id").agg(*aggs)
     band_cols = [
-        F.format_string(
-            "mh:%d:%d",
+        F.xxhash64(
+            F.lit("mh"),
             F.lit(b),
-            F.xxhash64(*[F.col(f"_h{b * r + j}") for j in range(r)]),
+            *[F.col(f"_h{b * r + j}") for j in range(r)],
         )
         for b in range(bands)
     ]
@@ -139,19 +143,26 @@ def hot_keys(blocks: DataFrame, cap: int = DEFAULT_SALT_CAP) -> DataFrame:
 
 
 def apply_salt(blocks: DataFrame, hot: DataFrame, seed: int = 42) -> DataFrame:
-    """Shard every row whose key appears in `hot` into 'key#shard' by a
-    deterministic hash of record_id; other rows keep their key. Two inputs
-    salted against the SAME hot table land same-record-same-shard, so
-    within-shard joins stay consistent across callers."""
+    """Shard every row whose key appears in `hot` into xxhash64(key, shard)
+    by a deterministic hash of record_id; other rows map to xxhash64(key).
+    Output keys are always 8-byte LONGS regardless of the input key type
+    (string bucket keys from ANN callers hash down to longs here too — the
+    post-salt exchanges are the expensive ones). Two inputs salted against
+    the SAME hot table land same-record-same-shard, so within-shard joins
+    stay consistent across callers.
+
+    A hot-derived xxhash64(key, shard) colliding with some other key's
+    xxhash64(key') is a ~2^-64-per-pair event; the consequence is only a
+    few spurious candidate pairs, which downstream verification scores and
+    rejects like any other non-match — no correctness surface."""
     out = blocks.join(F.broadcast(hot), "block_key", "left")
     salted = F.when(
         F.col("_shards").isNotNull(),
-        F.format_string(
-            "%s#%d",
+        F.xxhash64(
             F.col("block_key"),
             F.pmod(F.xxhash64(F.col("record_id"), F.lit(seed)), F.col("_shards")),
         ),
-    ).otherwise(F.col("block_key"))
+    ).otherwise(F.xxhash64(F.col("block_key")))
     return out.select(F.col("record_id"), salted.alias("block_key"))
 
 
@@ -315,7 +326,9 @@ def snb_pairs(
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            F.format_string("snb:%d", F.floor(F.col("rank_a") / window)).alias(
+            # long key (family-tagged hash) so merge_pairs unions cleanly
+            # with the other blockers' 8-byte keys
+            F.xxhash64(F.lit("snb"), F.floor(F.col("rank_a") / window)).alias(
                 "block_key"
             ),
         )
@@ -332,14 +345,28 @@ def phonetic_blocks(
     same-sounding spelling variants ('smith'/'smyth') that survive
     normalization with different shingles. JVM built-in soundex; row-local;
     pair with salt_blocks before pairs_from_blocks like any blocker.
+
+    Keys are family-tagged 8-byte longs, unrolled per token position (no
+    interpreted HOF lambda). The null guard is load-bearing: xxhash64
+    SKIPS null args rather than hashing them, so without it every record
+    missing token i would share one giant bogus block.
     """
     toks = F.split(F.col(norm_col), " ")
-    keys = F.transform(
-        F.slice(toks, 1, max_tokens),
-        lambda t, i: F.format_string("sx:%d:%s", i, F.soundex(t)),
-    )
+    # try_element_at: ANSI mode makes plain element_at THROW past the end
+    # of a short token list
+    keys = [
+        F.when(
+            (F.try_element_at(toks, F.lit(i + 1)).isNotNull())
+            & (F.try_element_at(toks, F.lit(i + 1)) != ""),
+            F.xxhash64(
+                F.lit("sx"), F.lit(i),
+                F.soundex(F.try_element_at(toks, F.lit(i + 1))),
+            ),
+        )
+        for i in range(max_tokens)
+    ]
     return records.select(
-        "record_id", F.explode(F.array_distinct(keys)).alias("block_key")
+        "record_id", F.explode(F.array_distinct(F.array(*keys))).alias("block_key")
     ).filter(F.col("block_key").isNotNull())
 
 

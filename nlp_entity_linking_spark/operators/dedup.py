@@ -209,17 +209,19 @@ def simhash_dedup(
         ),
         tokens_col="_toks",
     ).persist()
+    # chunk keys as plain longs (chunk index in bits 16+): these keys only
+    # ever meet other simhash chunk keys, and salt_blocks hashes them to
+    # tagged 8-byte keys anyway — no string formatting on the hot path
     chunks = base.select(
         "record_id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.format_string(
-                        "sh:%d:%d",
-                        F.lit(c),
-                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(0xFFFF),
-                    )
+                    (
+                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(0xFFFF)
+                        + F.lit(c * 65536)
+                    ).cast("long")
                     for c in range(4)
                 ]
             )

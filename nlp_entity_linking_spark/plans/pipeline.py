@@ -176,8 +176,23 @@ def calibrate(
     return dataclasses.replace(cfg, model=model, score_threshold=threshold)
 
 
-def score_edges(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Fused batch scoring -> thresholded undirected match edges (D4)."""
+def score_edges(
+    features: DataFrame, cfg: PipelineConfig, gate: bool = True
+) -> DataFrame:
+    """Fused batch scoring -> thresholded undirected match edges (D4).
+
+    gate=True (default) drops certain-rejects JVM-side BEFORE the Python
+    Jaro-Winkler pass (S.may_reach_threshold): jw is bounded in [0, 1], so
+    pairs whose best-case score can't reach the threshold never cross into
+    Arrow. Output is byte-identical either way (the gate is exact — it only
+    removes pairs the score filter would drop); what changes is the Python
+    surface, the dominant CPU cost of the engine. Keep gate=False only to
+    A/B the gate itself.
+    """
+    if gate:
+        features = features.filter(
+            S.may_reach_threshold(cfg.model, cfg.score_threshold)
+        )
     scored = S.score_pairs(features, cfg.model)
     return scored.select(
         "id_a",

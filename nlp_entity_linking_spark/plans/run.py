@@ -76,9 +76,19 @@ def run_with_catalog(
     else:
         labeled = None
 
+    # JVM cheap-reject gate before the Python JW pass. The scored table
+    # feeds select_threshold's sweep over THRESHOLD_CANDIDATES, so the gate
+    # must use the LOWEST threshold that will ever be applied to it — pairs
+    # that cannot reach even that are certain non-edges at every candidate,
+    # and the sweep (hence the chosen threshold, edges, clusters) is
+    # byte-identical to ungated scoring.
+    gate_tau = cfg.score_threshold
+    if labeled is not None:
+        gate_tau = min((gate_tau,) + P.THRESHOLD_CANDIDATES)
+    gated = features.filter(S.may_reach_threshold(cfg.model, gate_tau))
     t_score0 = time.perf_counter()
     scored = cat.stage(
-        spark, "scored_pairs", lambda: S.score_pairs(features, cfg.model), resume
+        spark, "scored_pairs", lambda: S.score_pairs(gated, cfg.model), resume
     )
     n_scored = scored.count()
     score_wall = time.perf_counter() - t_score0

@@ -446,8 +446,16 @@ def incremental_er(
             )
 
             feats = P.build_features(merged_records, pairs, cfg, cache_registry=cached)
+            # same exact JVM cheap-reject gate as the batch edge path
+            # (score_edges): certain non-edges never cross into Python, and
+            # the edge set is provably unchanged
             edges_new = (
-                S.score_pairs(feats, cfg.model)
+                S.score_pairs(
+                    feats.filter(
+                        S.may_reach_threshold(cfg.model, cfg.score_threshold)
+                    ),
+                    cfg.model,
+                )
                 .filter(F.col("score") >= cfg.score_threshold)
                 .select("id_a", "id_b")
             )

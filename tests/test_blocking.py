@@ -45,12 +45,23 @@ def test_salting_caps_blocks(spark):
     rows = [(i, "hot") for i in range(200)] + [(i + 200, f"cold{i}") for i in range(5)]
     blocks = spark.createDataFrame(rows, "record_id long, block_key string")
     salted = B.salt_blocks(blocks, cap=50)
-    sizes = salted.groupBy("block_key").count().collect()
-    hot_shards = [r for r in sizes if r.block_key.startswith("hot#")]
-    assert len(hot_shards) == 4  # ceil(200/50)
-    assert all(r["count"] < 100 for r in hot_shards)
-    cold = [r for r in sizes if r.block_key.startswith("cold")]
-    assert len(cold) == 5 and all(r["count"] == 1 for r in cold)
+    # salted keys are opaque 8-byte longs: recover the original key per
+    # record to group shards by their source block
+    joined = salted.join(
+        blocks.withColumnRenamed("block_key", "orig_key"), "record_id"
+    ).collect()
+    assert all(isinstance(r.block_key, int) for r in joined)  # long keys
+    shards_of: dict[str, set] = {}
+    size_of: dict[int, int] = {}
+    for r in joined:
+        shards_of.setdefault(r.orig_key, set()).add(r.block_key)
+        size_of[r.block_key] = size_of.get(r.block_key, 0) + 1
+    assert len(shards_of["hot"]) == 4  # ceil(200/50)
+    assert all(size_of[k] < 100 for k in shards_of["hot"])
+    colds = {k: v for k, v in shards_of.items() if k != "hot"}
+    assert len(colds) == 5
+    for ks in colds.values():  # cold keys map 1:1, block intact
+        assert len(ks) == 1 and size_of[next(iter(ks))] == 1
 
 
 def test_pairs_from_blocks_oracle(spark):

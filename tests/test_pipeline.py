@@ -178,3 +178,33 @@ def test_calibration_sample_is_bounded(spark):
     # under-cap inputs pass through untouched
     small = big.limit(10)
     assert P.bounded_labeled_sample(small, cap).count() == 10
+
+
+def test_score_edges_gate_byte_equal(spark):
+    """The JVM cheap-reject gate must not change the edge set (or the
+    clusters downstream): gate=True vs gate=False on the golden fixture
+    produce identical (id_a, id_b, score) rows, while the gate provably
+    prunes part of the Python surface."""
+    pages, _ = gen_pages(spark, 500)
+    cfg = P.PipelineConfig()
+    records = P.build_records(pages, cfg).persist()
+    pairs = P.build_candidate_pairs(records, cfg)
+    feats = P.build_features(records, pairs, cfg).persist()
+    feats.count()
+    gated = P.score_edges(feats, cfg, gate=True)
+    ungated = P.score_edges(feats, cfg, gate=False)
+    rows_g = {
+        (r.id_a, r.id_b, round(r.score, 12)) for r in gated.collect()
+    }
+    rows_u = {
+        (r.id_a, r.id_b, round(r.score, 12)) for r in ungated.collect()
+    }
+    assert rows_g == rows_u and rows_g
+    # the gate actually prunes on this fixture (certain rejects exist)
+    from nlp_entity_linking_spark.functions import similarity as S
+
+    n_all = feats.count()
+    n_kept = feats.filter(
+        S.may_reach_threshold(cfg.model, cfg.score_threshold)
+    ).count()
+    assert n_kept < n_all

@@ -119,3 +119,39 @@ def test_score_pairs_fused(spark):
     assert got[1].score < 0.1
     # fused pass must keep every input row & column
     assert len(got) == 2 and "block_key" not in got[0].asDict()
+
+
+def test_may_reach_threshold_gate_sound(spark):
+    """Gate soundness: a pair rejected by may_reach_threshold can NEVER
+    score >= threshold for ANY jw in [0,1]; a pair any jw could push over
+    must be kept. Checked across both jw-weight signs on a (tsl, cos) grid
+    that brackets the decision band."""
+    grid = [
+        (i, round(0.05 * (i % 21), 2), round(0.05 * (i // 21), 2))
+        for i in range(21 * 21)
+    ]
+    df = spark.createDataFrame(grid, "pid long, tsl double, cos double")
+    for weights in [(0.1, 4.7, 15.7), (-0.77, 7.0, 14.05), (2.0, 8.0, 0.0)]:
+        model = S.ScoreModel(weights=weights, bias=-11.0)
+        for tau in (0.5, 0.8):
+            kept = {
+                r.pid
+                for r in df.filter(S.may_reach_threshold(model, tau)).collect()
+            }
+            w1, w2, w3 = weights
+            for pid, tsl, cos in grid:
+                best_z = w2 * tsl + w3 * cos + model.bias + max(w1, 0.0)
+                best_score = 1.0 / (1.0 + math.exp(-best_z))
+                if best_score >= tau:
+                    assert pid in kept, (weights, tau, tsl, cos)
+                else:
+                    assert pid not in kept, (weights, tau, tsl, cos)
+
+
+def test_gate_validates_threshold():
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        S.may_reach_threshold(S.ScoreModel(), 1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        S.may_reach_threshold(S.ScoreModel(), 0.0)

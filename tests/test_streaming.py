@@ -292,8 +292,11 @@ def test_incremental_hot_key_salting(spark):
         "record_id long, block_key string",
     )
     pairs = ST.incremental_candidate_pairs(new, old, cap).collect()
-    hot_pairs = [p for p in pairs if p.block_key.startswith("hot")]
-    cold_pairs = [p for p in pairs if p.block_key.startswith("cold")]
+    # block keys are opaque salted longs now — classify pairs by their
+    # record ids instead (cold members: old 100-103 + new 1010)
+    cold_ids = set(range(100, 104)) | {1010}
+    hot_pairs = [p for p in pairs if p.id_a not in cold_ids and p.id_b not in cold_ids]
+    cold_pairs = [p for p in pairs if p.id_a in cold_ids and p.id_b in cold_ids]
     # cold key: every new-old pair survives untouched
     assert len(cold_pairs) == 4
     # hot key: present (the old exclusion produced ZERO), bounded well below
