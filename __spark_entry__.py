@@ -454,6 +454,37 @@ def q_minhash_dedup_docs(spark, sf_dir):
     return minhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_kmv_rollup_events(spark, sf_dir):
+    """Mergeable-sketch rollup, hash-checked end to end: KMV (bottom-k)
+    distinct sketches of user_id built per (event_type, day), then MERGED
+    to per-event_type totals without re-reading raw data — the exact
+    deterministic twin of the HLL sketch path (functions/sketches.py),
+    md5-60bit hashes reproduced bit-for-bit by DuckDB. Output: retained
+    summary size, the KMV estimate, and the exact distinct for context —
+    all BIGINT."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.sketches import (
+        kmv_merge,
+        kmv_sketch_per_group,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    fine = kmv_sketch_per_group(e, ["event_type", "day"], "uid", k=64)
+    merged = kmv_merge(fine, ["event_type"], k=64)
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "n_retained", "est_distinct", "exact_distinct"
+    )
+
+
 def q_simhash_docs(spark, sf_dir):
     """Dedup family #3: 64-bit SimHash signatures via the codegen scale form
     (explode + 64 JVM sum aggregates; rows-only check — xxhash64 has no
@@ -1116,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                         minhash_verify_docs + minhash_md5_pipeline
     #   rolling_fp_docs    -> rows-only; family driver-verified by
     #                         rolling_fp_verify_docs + fingerprint_docs
+    #   simhash_docs       -> rows-only; family driver-verified by
+    #                         simhash_verify_docs, signature equality pytest
+    # (simhash_docs made room for kmv_rollup_events, which is hash-green.)
     return {
         "agg_groupby": q_agg_groupby,
         "filter_pushdown": q_filter_pushdown,
@@ -1133,7 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_docs": q_token_jaccard_docs,
         "minhash_verify_docs": q_minhash_verify_docs,
         "minhash_md5_pipeline": q_minhash_md5_pipeline,
-        "simhash_docs": q_simhash_docs,
+        "kmv_rollup_events": q_kmv_rollup_events,
         "simhash_verify_docs": q_simhash_verify_docs,
         "rolling_fp_verify_docs": q_rolling_fp_verify_docs,
         "mentions_regex_docs": q_mentions_regex_docs,
@@ -1659,6 +1693,41 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY d2.lang ORDER BY count(*) DESC, d2.lang LIMIT 1)
                      AS top_lang
             FROM documents d GROUP BY source
+        """,
+        "kmv_rollup_events": """
+            WITH dis AS (
+              SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h
+              FROM events),
+            fine AS (
+              SELECT event_type, day, h,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY h) AS rn
+              FROM dis),
+            mu AS (
+              SELECT DISTINCT event_type, h FROM fine WHERE rn <= 64),
+            mr AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn
+              FROM mu),
+            mk AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_retained,
+                     max(h) AS kth
+              FROM mr WHERE rn <= 64 GROUP BY event_type),
+            ex AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+              FROM events GROUP BY event_type)
+            SELECT m.event_type, m.n_retained,
+                   CAST(floor(CASE WHEN m.n_retained < 64
+                                   THEN CAST(m.n_retained AS DOUBLE)
+                                   ELSE 63.0 * 1152921504606846976.0
+                                        / CAST(m.kth AS DOUBLE) END)
+                        AS BIGINT) AS est_distinct,
+                   ex.exact_distinct
+            FROM mk m JOIN ex USING (event_type)
         """,
         "moving_window": """
             SELECT event_id, user_id,

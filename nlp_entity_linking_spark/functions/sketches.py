@@ -81,6 +81,86 @@ def token_vocabulary_sketch(
     return distinct_sketch_per_group(ex, [group_col], "_tok", lgk)
 
 
+def kmv_sketch_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """DETERMINISTIC mergeable distinct sketch: the k minimum md5-derived
+    60-bit hash values of the group's distinct values (KMV / bottom-k,
+    Bar-Yossef et al. '02). The oracle-checkable twin of the HLL path:
+    same build-once / merge-don't-rebuild dataflow, but every output bit is
+    reproducible cross-engine (DuckDB computes the identical hashes), so
+    the driver hash-checks the WHOLE rollup (q:kmv_rollup_events) — the one
+    thing a DataSketches HLL binary can never offer (HIP estimates are
+    build-order dependent).
+
+    Fully distributed build: distinct (group, hash) -> per-group rank
+    window -> keep rank <= k. The summary is a bounded array<long> of
+    <= k elements; no unbounded collect anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import md5_long
+
+    h = md5_long(F.col(value_col))
+    dis = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = dis.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv"),
+        F.count("*").alias("n_retained"),
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None,
+    k: int = 64,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """Union KMV summaries to coarser groups WITHOUT touching raw data:
+    k smallest of the union of bottom-k sets == bottom-k of the full union
+    (an exact algebraic law — pytest proves merge == direct build, bitwise).
+    Adds the standard KMV estimate (k-1) * 2^60 / kth_min as est_distinct:
+    double arithmetic on exactly-representable ints — one IEEE rounding per
+    op, bit-identical cross-engine — floored to a BIGINT for hashing."""
+    from pyspark.sql import Window
+
+    ex = sketches.select(
+        *(group_cols or []), F.explode(kmv_col).alias("_h")
+    ).distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("_h")
+    else:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(F.lit(1)).orderBy("_h")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = kept.groupBy(*(group_cols or [])).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv"),
+        F.count("*").alias("n_retained"),
+        F.max("_h").alias("_kth"),
+    )
+    # n_retained < k -> the group's true distinct count IS n_retained
+    est = F.when(
+        F.col("n_retained") < k, F.col("n_retained").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_kth").cast("double")
+    )
+    return agg.select(
+        *(group_cols or []),
+        "kmv",
+        "n_retained",
+        F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
 def approx_quantiles(
     df: DataFrame,
     value_col: str,

@@ -61,6 +61,10 @@ def test_retired_queries(spark):
     # rolling_fp_docs: one row per doc, fingerprint counts non-negative
     rf = E.q_rolling_fp_docs(spark, SF).collect()
     assert len(rf) == n_docs and all(r.n_fps >= 0 for r in rf)
+    # simhash_docs (made room for the hash-green kmv_rollup_events): one
+    # signature per doc; signature semantics pytest'd in test_dedup
+    sh = E.q_simhash_docs(spark, SF)
+    assert sh.count() == n_docs
 
 
 def test_entry_smoke(spark):

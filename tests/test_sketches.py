@@ -101,3 +101,41 @@ def test_approx_quantiles_vs_exact(spark):
         li.agg(F.max("p")).collect()[0][0],
     )
     assert abs(qs[0] - exact) / (hi - lo) < 0.01
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """The KMV mergeable law, EXACTLY: bottom-k of a union == bottom-k of
+    the union of per-part bottom-k summaries. Unlike the HLL binary this
+    twin is deterministic, so the assertion is bitwise equality."""
+    rows = [(f"g{i % 3}", f"d{i % 7}", f"v{i % 151}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, part string, v string")
+    fine = SK.kmv_sketch_per_group(df, ["g", "part"], "v", k=32)
+    merged = SK.kmv_merge(fine, ["g"], k=32)
+    direct = SK.kmv_sketch_per_group(df.select("g", "v"), ["g"], "v", k=32)
+    m = {r.g: (tuple(r.kmv), r.n_retained) for r in merged.collect()}
+    d = {r.g: (tuple(r.kmv), r.n_retained) for r in direct.collect()}
+    assert m == d and len(m) == 3
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """est_distinct is exact (== n_retained) below k, and within 25% of
+    truth above k at k=64 (KMV RSE ~ 1/sqrt(k-2) ~ 12.7%)."""
+    rows = [("big", f"v{i}") for i in range(3000)] + [
+        ("small", f"v{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    fine = SK.kmv_sketch_per_group(df, ["g"], "v", k=64)
+    got = {r.g: r for r in SK.kmv_merge(fine, ["g"], k=64).collect()}
+    assert got["small"].est_distinct == 20 and got["small"].n_retained == 20
+    assert got["big"].n_retained == 64
+    assert abs(got["big"].est_distinct - 3000) / 3000 < 0.25
+
+
+def test_kmv_partition_layout_invariant(spark):
+    """Summaries are a pure function of the value SET — any partitioning
+    of the input produces identical sketches."""
+    rows = [("g", f"v{i % 400}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = SK.kmv_sketch_per_group(df.repartition(1), ["g"], "v", k=48).collect()
+    b = SK.kmv_sketch_per_group(df.repartition(17, "v"), ["g"], "v", k=48).collect()
+    assert [tuple(r.kmv) for r in a] == [tuple(r.kmv) for r in b]
