@@ -182,6 +182,51 @@ def salt_blocks(
     return apply_salt(blocks, hot_keys(blocks, cap), seed)
 
 
+def cross_shard_rep_pairs(
+    blocks: DataFrame, hot: DataFrame, seed: int = 42
+) -> DataFrame:
+    """Bounded cross-shard recall recovery for salted hot keys.
+
+    Salting deliberately drops pairs across shards of one hot key. For
+    TRANSITIVE clustering that loss is bridgeable without the quadratic
+    expansion: take one representative record per (hot key, shard) — the
+    min record_id, matching apply_salt's shard assignment — and chain the
+    representatives of adjacent shards (S-1 pairs per hot key, not C(n,2)
+    and not even C(S,2)). If the hot block really is one entity (template
+    pages, boilerplate surfaces — the common case that MAKES keys hot),
+    the representative pairs score as matches and connected components
+    merges the shard-local clusters. If the block is a mixed bag, the reps
+    simply fail verification downstream and cost S-1 scored pairs.
+
+    Work is O(sum over hot keys of shards) rows — driver-bounded by the
+    same broadcast hot table salting already uses. Recall loss is bounded,
+    not eliminated: cross-shard TRUE pairs whose cluster-mates are all
+    non-representatives still rely on the chain holding (scored reps must
+    match). Measured on a template-heavy fixture in test_blocking.
+    """
+    hot_rows = blocks.join(F.broadcast(hot), "block_key")
+    shard = F.pmod(F.xxhash64(F.col("record_id"), F.lit(seed)), F.col("_shards"))
+    reps = (
+        hot_rows.select("block_key", shard.alias("_shard"), "record_id")
+        .groupBy("block_key", "_shard")
+        .agg(F.min("record_id").alias("_rep"))
+    )
+    # chain shard s -> s+1 via an equi self-join (shard ids are contiguous
+    # 0..S-1); join instead of a lag window — same S-1 pairs per key
+    nxt = reps.select(
+        F.col("block_key"),
+        (F.col("_shard") - 1).alias("_shard"),
+        F.col("_rep").alias("_rep_next"),
+    )
+    chained = reps.join(nxt, ["block_key", "_shard"])
+    return chained.select(
+        F.least("_rep", "_rep_next").alias("id_a"),
+        F.greatest("_rep", "_rep_next").alias("id_b"),
+        # family-tagged long key in the same 8-byte domain as apply_salt
+        F.xxhash64(F.lit("xs"), F.col("block_key")).alias("block_key"),
+    )
+
+
 def block_stats(blocks: DataFrame) -> DataFrame:
     """Block-size diagnostics (SURVEY.md D5)."""
     return (

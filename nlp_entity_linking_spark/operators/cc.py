@@ -55,6 +55,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionByName(selfe)
 
 
+def _ckpt_uv(df: DataFrame) -> DataFrame:
+    """localCheckpoint + a fresh (u, v) projection. The re-alias mints new
+    attribute ids, working around a Spark 4.1 optimizer failure
+    (java.util.NoSuchElementException: key not found: u#N during
+    lazyOptimizedPlan) that reproducibly hits the first star iteration when
+    the checkpointed edges came from a multi-branch merge_pairs plan whose
+    branches share one cached subtree (e.g. lsh pairs + cross-shard rep
+    pairs over the same persisted blocks). The projection is fused into the
+    next stage's codegen — no extra pass."""
+    return df.localCheckpoint(eager=True).select(
+        F.col("u").alias("u"), F.col("v").alias("v")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -84,12 +98,12 @@ def connected_components(
 
     cur = _canon(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
     if checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        cur = _ckpt_uv(cur)
     cur_stats = _stats(cur)
     for i in range(max_iter):
         nxt = _canon(_small_star(_large_star(cur)))
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _ckpt_uv(nxt)
         if on_iteration is not None:
             nxt = on_iteration(i, nxt) or nxt
         nxt_stats = _stats(nxt)  # single job per iteration

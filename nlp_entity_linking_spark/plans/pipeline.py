@@ -44,6 +44,11 @@ class PipelineConfig:
     # phonetic-variant-heavy corpora at the cost of extra candidate pairs
     # (measured in test_pipeline.py::test_phonetic_blocker_recall).
     use_phonetic: bool = False
+    # chain one representative per (hot key, shard) across shards so
+    # transitive clustering can bridge salted hot blocks — bounds salting's
+    # documented cross-shard recall loss at S-1 extra scored pairs per hot
+    # key (B.cross_shard_rep_pairs).
+    link_shards: bool = True
     model: S.ScoreModel = field(default_factory=S.ScoreModel)
     max_cc_iter: int = 25
 
@@ -58,21 +63,23 @@ def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     blocks = B.lsh_blocks(
         records, "shingles", k=cfg.minhash_k, bands=cfg.bands
     ).persist()
-    salted = B.salt_blocks(blocks, cap=cfg.salt_cap)
-    if not (cfg.use_snb or cfg.use_phonetic):
-        return B.pairs_from_blocks(salted)
+    hot = B.hot_keys(blocks, cfg.salt_cap)
+    salted = B.apply_salt(blocks, hot)
     # dedup once across all enabled blockers (merge_pairs) instead of
     # per-blocker — one (id_a, id_b) exchange total
     parts = [B.pairs_from_blocks(salted, dedup=False)]
+    if cfg.link_shards:
+        parts.append(B.cross_shard_rep_pairs(blocks, hot))
     if cfg.use_snb:
         parts.append(B.snb_pairs(records, "norm", window=cfg.snb_window))
     if cfg.use_phonetic:
-        parts.append(
-            B.pairs_from_blocks(
-                B.salt_blocks(B.phonetic_blocks(records), cap=cfg.salt_cap),
-                dedup=False,
-            )
-        )
+        ph = B.phonetic_blocks(records)
+        hot_ph = B.hot_keys(ph, cfg.salt_cap)
+        parts.append(B.pairs_from_blocks(B.apply_salt(ph, hot_ph), dedup=False))
+        if cfg.link_shards:
+            parts.append(B.cross_shard_rep_pairs(ph, hot_ph))
+    if len(parts) == 1:
+        return B.pairs_from_blocks(salted)
     return B.merge_pairs(*parts)
 
 

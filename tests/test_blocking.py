@@ -112,3 +112,52 @@ def test_phonetic_blocks_pair_spelling_variants(spark):
     assert (1, 2) in pairs
     assert (3, 4) in pairs
     assert all(5 not in p for p in pairs)
+
+
+def test_cross_shard_rep_pairs_bounded_and_connecting(spark):
+    """Hot key of 200 records, cap 50 -> 4 shards: exactly S-1 = 3 chained
+    representative pairs, and (within-shard pairs + rep pairs) connect all
+    200 records into ONE component — salting's cross-shard recall loss is
+    bridged for transitive clustering at bounded cost."""
+    rows = [(i, "hot") for i in range(200)] + [(i + 500, f"cold{i}") for i in range(4)]
+    blocks = spark.createDataFrame(rows, "record_id long, block_key string")
+    hot = B.hot_keys(blocks, cap=50)
+    reps = B.cross_shard_rep_pairs(blocks, hot).collect()
+    assert len(reps) == 3  # chain, not C(4,2)=6 and not C(200,2)
+    within = B.pairs_from_blocks(B.apply_salt(blocks, hot)).collect()
+    # union-find over both pair sets
+    parent = {i: i for i in range(200)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in list(within) + list(reps):
+        if p.id_a < 500 and p.id_b < 500:
+            parent[find(p.id_a)] = find(p.id_b)
+    assert len({find(i) for i in range(200)}) == 1
+
+
+def test_link_shards_restores_template_cluster(spark):
+    """Template-heavy corpus: 150 records with IDENTICAL surface (one hot
+    LSH block, cap 64 -> 3 shards). Without shard linking the candidate
+    graph splits the entity into 3 clusters; with it (default) the full
+    pipeline graph is one component. Measured completeness delta of the
+    verdict item."""
+    from nlp_entity_linking_spark.operators import cc as CC
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    recs = _records(spark, ["acme templated page"] * 150)
+
+    def n_components(link):
+        cfg = P.PipelineConfig(use_snb=False, link_shards=link)
+        pairs = P.build_candidate_pairs(recs, cfg)
+        labels = CC.connected_components(
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        )
+        return labels.select("cluster_id").distinct().count()
+
+    assert n_components(False) == 3
+    assert n_components(True) == 1
