@@ -67,6 +67,17 @@ def main() -> None:
         F.lit(0.5).alias("cos"),
     ).repartition(2 * int(cpus))
     S.score_pairs(warm, cfg.model, n_partitions=2 * int(cpus)).count()
+    # ...and the JVM codegen/JIT for every pipeline stage with one tiny
+    # untimed end-to-end pass (~2k pages): isolation runs showed the FIRST
+    # execution of the blocking plan can cost several times its warm cost
+    # (codegen compile + JIT + page-cache faults), which a one-shot timer
+    # then misattributes to the stage (the r3 er_blocking_pairs mirage).
+    warm_pages, _ = gen_pages(spark, 2000)
+    wr = P.build_records(warm_pages, cfg)
+    wp = P.build_candidate_pairs(wr, cfg)
+    wf = P.build_features(wr, wp, cfg)
+    we = P.score_edges(wf, cfg)
+    P.cluster(wr, we, cfg).count()
 
     # each stage persisted + counted INSIDE its timer so the per-stage
     # numbers attribute real work, not lazy plan construction

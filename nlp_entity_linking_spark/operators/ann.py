@@ -209,15 +209,17 @@ def rp_probe_signatures(n_planes: int, n_tables: int, seed: int, n_probe: int):
 def rp_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int, seed: int
 ) -> DataFrame:
-    """(id, bucket) — one row per (row, table), bucket = 't<table>:<sig>'.
-    THIN by design: the embedding never rides the explode or the bucket
-    shuffle; callers re-attach vectors to the (much smaller) candidate set."""
+    """(id, bucket) — one row per (row, table), bucket = xxhash64(table,
+    sig): an 8-byte long key (same key-width policy as blocking.py — hash
+    keys shuffle/compare cheaper than formatted strings). THIN by design:
+    the embedding never rides the explode or the bucket shuffle; callers
+    re-attach vectors to the (much smaller) candidate set."""
     sig_udf = rp_signatures(n_planes, n_tables, seed)
     return df.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("_tbl", "_sig")
     ).select(
         id_col,
-        F.format_string("t%d:%d", F.col("_tbl"), F.col("_sig")).alias("bucket"),
+        F.xxhash64(F.col("_tbl").cast("int"), F.col("_sig")).alias("bucket"),
     )
 
 
@@ -231,15 +233,16 @@ def rp_probe_buckets(
     n_probe: int,
 ) -> DataFrame:
     """Multi-probe QUERY buckets: n_tables * n_probe thin rows per query,
-    bucket strings bit-compatible with rp_buckets corpus output (the probe
-    index maps back to its table via pos div n_probe)."""
+    bucket keys bit-compatible with rp_buckets corpus output (the probe
+    index maps back to its table via pos div n_probe; the same int table
+    index + long sig feed the same xxhash64)."""
     sig_udf = rp_probe_signatures(n_planes, n_tables, seed, n_probe)
     return df.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("_pos", "_sig")
     ).select(
         id_col,
-        F.format_string(
-            "t%d:%d", (F.col("_pos") / n_probe).cast("int"), F.col("_sig")
+        F.xxhash64(
+            (F.col("_pos") / n_probe).cast("int"), F.col("_sig")
         ).alias("bucket"),
     )
 

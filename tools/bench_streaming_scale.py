@@ -1,0 +1,121 @@
+"""Streaming ER at bench scale: a committed 100k-page corpus, then ~10
+incremental 10k-page batches against it — the 100-TB operating shape
+("new crawl wave vs committed corpus") measured beyond toy fixtures.
+
+Reports per-batch walls for the incremental waves (flatness = the
+incremental path's cost tracks the BATCH size, not the corpus size) and
+verifies the final streamed clusters are IDENTICAL to the batch pipeline
+over the union of all pages.
+
+cfg uses use_snb=False and link_shards=False: the streaming blocker is
+LSH-only and has no cross-shard representative chain, so the equality
+check must compare like with like (both paths still salt hot keys and
+gate scoring identically).
+
+Usage: python tools/bench_streaming_scale.py [seed_pages] [n_waves] [wave_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    seed_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    wave_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+
+    from pyspark.sql import functions as F
+
+    from nlp_entity_linking_spark.conf import get_spark
+    from nlp_entity_linking_spark.plans import pipeline as P
+    from nlp_entity_linking_spark.sources.catalog import Catalog
+    from nlp_entity_linking_spark.sources.synthetic import gen_pages
+    from nlp_entity_linking_spark.streaming import stream_ops as ST
+
+    spark = get_spark(app_name="bench_streaming_scale")
+    cfg = P.PipelineConfig(use_snb=False, link_shards=False)
+    work = tempfile.mkdtemp(prefix="bench_stream_scale_")
+    src = f"{work}/pages_in"
+    out = f"{work}/cat"
+    run_id = "scale"
+
+    total = seed_pages + n_waves * wave_pages
+    # deterministic waves by url HASH range, not arrival order: all
+    # re-crawls of one url must land in ONE wave, because the incremental
+    # path is first-write-wins per record_id while the batch pipeline is
+    # latest-per-url — a url straddling waves would make the two outputs
+    # legitimately differ (same convention as tests/test_streaming.py)
+    pages = gen_pages(spark, total)[0].withColumn(
+        "_rn", F.pmod(F.xxhash64("url"), F.lit(total))
+    )
+    t0 = time.perf_counter()
+    pages.filter(F.col("_rn") < seed_pages).drop("_rn").repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, src), out, run_id, cfg=cfg
+    )
+    q.awaitTermination(3600)
+    seed_wall = time.perf_counter() - t0
+
+    wave_walls = []
+    for w in range(n_waves):
+        lo = seed_pages + w * wave_pages
+        hi = lo + wave_pages
+        pages.filter((F.col("_rn") >= lo) & (F.col("_rn") < hi)).drop(
+            "_rn"
+        ).repartition(8).write.mode("append").parquet(src)
+        t1 = time.perf_counter()
+        q = ST.incremental_er(
+            spark, ST.read_pages_stream(spark, src), out, run_id, cfg=cfg
+        )
+        q.awaitTermination(3600)
+        wave_walls.append(round(time.perf_counter() - t1, 3))
+
+    # ---- equality vs the batch pipeline over the union ----
+    cat = Catalog(out, run_id)
+    epochs = cat.committed_meta("epoch")["epochs"]
+    streamed = None
+    last = max(epochs)
+    streamed = cat.read(spark, f"clusters_epoch_{last}")
+    s_rows = {
+        (r.record_id, r.cluster_id) for r in streamed.collect()
+    }
+
+    batch = P.run_pipeline(spark, pages.drop("_rn"), cfg)
+    b_rows = {
+        (r.record_id, r.cluster_id) for r in batch["clusters"].collect()
+    }
+    k = max(3, len(wave_walls) // 3)
+    head = sorted(wave_walls[:k])[k // 2]
+    tail = sorted(wave_walls[-k:])[k // 2]
+    print(
+        json.dumps(
+            {
+                "seed_pages": seed_pages,
+                "n_waves": n_waves,
+                "wave_pages": wave_pages,
+                "seed_wall_sec": round(seed_wall, 3),
+                "wave_walls_sec": wave_walls,
+                "median_head_sec": head,
+                "median_tail_sec": tail,
+                "tail_over_head": round(tail / head, 3),
+                "clusters_byte_equal_to_batch": s_rows == b_rows,
+                "n_records": len(s_rows),
+                "n_clusters": len({c for _, c in s_rows}),
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
