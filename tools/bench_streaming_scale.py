@@ -93,6 +93,12 @@ def main() -> None:
     b_rows = {
         (r.record_id, r.cluster_id) for r in batch["clusters"].collect()
     }
+    # when hot keys exist, streaming salting shards by COMMITTED/batch-local
+    # sizes while batch salting shards by global sizes — the documented
+    # bounded approximation (stream_ops.incremental_candidate_pairs), so at
+    # scale the two partitions can differ on hot-key members. Quantify it:
+    # how many records sit in a differing assignment, not just a bool.
+    diff_records = {r for r, _ in s_rows ^ b_rows}
     k = max(3, len(wave_walls) // 3)
     head = sorted(wave_walls[:k])[k // 2]
     tail = sorted(wave_walls[-k:])[k // 2]
@@ -108,8 +114,11 @@ def main() -> None:
                 "median_tail_sec": tail,
                 "tail_over_head": round(tail / head, 3),
                 "clusters_byte_equal_to_batch": s_rows == b_rows,
+                "n_records_in_differing_assignments": len(diff_records),
+                "diff_fraction": round(len(diff_records) / max(len(s_rows), 1), 6),
                 "n_records": len(s_rows),
                 "n_clusters": len({c for _, c in s_rows}),
+                "n_clusters_batch": len({c for _, c in b_rows}),
             }
         )
     )
