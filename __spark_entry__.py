@@ -353,6 +353,13 @@ _GRAMS3_SQL = (
     "ELSE list_transform(range(1, len({t}) - 1), "
     "i -> array_to_string({t}[i:i+2], ' ')) END"
 )
+# DuckDB mirror of word_ngrams(toks, 2), same fallbacks as _GRAMS3_SQL.
+_GRAMS2_SQL = (
+    "CASE WHEN len({t}) = 0 THEN []::VARCHAR[] "
+    "WHEN len({t}) < 2 THEN [array_to_string({t}, ' ')] "
+    "ELSE list_transform(range(1, len({t})), "
+    "i -> array_to_string({t}[i:i+1], ' ')) END"
+)
 # DuckDB mirror of functions.textstats.md5_long: first 60 md5 bits as BIGINT.
 _MD5LONG_SQL = "CAST('0x' || substr(md5({c}), 1, 15) AS BIGINT)"
 
@@ -912,6 +919,16 @@ def q_fingerprint_docs(spark, sf_dir):
     return d.select("doc_id", fingerprint_md5("text").alias("fp"))
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher/C4 repetition quality filters per document: duplicate-line
+    fraction (row-local line arrays) + top word-2-gram fraction (explode ->
+    codegen counts -> per-doc max/sum). Int/int ratios -> hash-exact."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_rolling_fp_docs(spark, sf_dir):
     """Text analysis: winnowing-style rolling fingerprints (rows-only)."""
     _prep(spark)
@@ -1149,7 +1166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                         rolling_fp_verify_docs + fingerprint_docs
     #   simhash_docs       -> rows-only; family driver-verified by
     #                         simhash_verify_docs, signature equality pytest
-    # (simhash_docs made room for kmv_rollup_events, which is hash-green.)
+    #   fingerprint_docs   -> family driver-verified by
+    #                         rolling_fp_verify_docs (md5 winnowing twin)
+    # (simhash_docs / fingerprint_docs made room for kmv_rollup_events and
+    # repetition_docs, both hash-green.)
     return {
         "agg_groupby": q_agg_groupby,
         "filter_pushdown": q_filter_pushdown,
@@ -1189,7 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "token_counts_docs": q_token_counts_docs,
-        "fingerprint_docs": q_fingerprint_docs,
+        "repetition_docs": q_repetition_docs,
         "ann_topk": q_ann_topk,
         "embed_cos_pairs": q_embed_cos_pairs,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -1345,9 +1365,33 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe
             FROM documents
         """,
-        "fingerprint_docs": f"""
-            SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp
-            FROM documents
+        "repetition_docs": f"""
+            WITH l AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(list_transform(
+                          string_split(text, chr(10)), x -> trim(x)),
+                          x -> x <> '')) AS BIGINT) AS n_lines,
+                     CAST(len(list_distinct(list_filter(list_transform(
+                          string_split(text, chr(10)), x -> trim(x)),
+                          x -> x <> ''))) AS BIGINT) AS n_distinct_lines
+              FROM documents),
+            t AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS toks
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         unnest({_GRAMS2_SQL.format(t='toks')}) AS gr
+                  FROM t),
+            pc AS (SELECT doc_id, gr, count(*) AS n
+                   FROM g GROUP BY doc_id, gr),
+            p AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram_n,
+                         CAST(sum(n) AS BIGINT) AS total_grams
+                  FROM pc GROUP BY doc_id)
+            SELECT l.doc_id, l.n_lines, l.n_distinct_lines,
+                   CASE WHEN l.n_lines > 0
+                        THEN (l.n_lines - l.n_distinct_lines) / l.n_lines
+                   END AS dup_line_frac,
+                   p.top_gram_n, p.total_grams,
+                   p.top_gram_n / p.total_grams AS top_gram_frac
+            FROM l LEFT JOIN p USING (doc_id)
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id,

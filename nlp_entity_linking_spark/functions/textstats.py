@@ -134,3 +134,68 @@ def rolling_fingerprints(text_col, window: int = 8, keep_every: int = 16) -> Col
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
     )
     return F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
+
+
+def repetition_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+):
+    """Gopher/C4-style repetition quality filters per document (Rae et al.
+    '21 §A1.1; Raffel et al. '20 — public-knowledge heuristics): the two
+    classic signals that catch boilerplate/spam pages whose token counts
+    and stopword ratios look normal.
+
+    * dup_line_frac — fraction of (trimmed, non-empty) lines that are
+      repeats of an earlier line: (n_lines - n_distinct_lines) / n_lines.
+      Row-local array ops (the line list of ONE document is small).
+    * top_gram_frac — occurrences of the most frequent word n-gram over
+      total n-grams: the SCALE form, explode -> (doc, gram) codegen count
+      -> per-doc max/sum with map-side partial aggregation. No per-row
+      Python, no collect.
+
+    All ratios are int/int divisions (bit-identical cross-engine — oracle
+    q:repetition_docs). Docs with zero grams report NULL gram stats; docs
+    with zero non-empty lines report NULL line stats.
+    """
+    from .normalize import word_ngrams
+
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines).cast("long")
+    n_distinct = F.size(F.array_distinct(lines)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct_lines"),
+        F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).alias(
+            "dup_line_frac"
+        ),
+        word_ngrams(tokenize(normalize(c)), ngram).alias("_grams"),
+    )
+    ex = base.select(id_col, F.explode("_grams").alias("_g"))
+    per = (
+        ex.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_n"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").alias("top_gram_n"),
+            F.sum("_n").alias("total_grams"),
+        )
+    )
+    return (
+        base.drop("_grams")
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "n_distinct_lines",
+            "dup_line_frac",
+            F.col("top_gram_n").cast("long").alias("top_gram_n"),
+            F.col("total_grams").cast("long").alias("total_grams"),
+            (F.col("top_gram_n") / F.col("total_grams")).alias("top_gram_frac"),
+        )
+    )

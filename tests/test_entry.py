@@ -65,6 +65,10 @@ def test_retired_queries(spark):
     # signature per doc; signature semantics pytest'd in test_dedup
     sh = E.q_simhash_docs(spark, SF)
     assert sh.count() == n_docs
+    # fingerprint_docs (made room for the hash-green repetition_docs):
+    # md5-of-normalized-text fingerprint, one per doc, dup-consistent
+    fp = E.q_fingerprint_docs(spark, SF)
+    assert fp.count() == n_docs and fp.select("fp").distinct().count() <= n_docs
 
 
 def test_entry_smoke(spark):

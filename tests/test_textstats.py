@@ -49,3 +49,29 @@ def test_fingerprints(spark):
     fp3 = _one(spark, T.rolling_fingerprints("text", 3, 4),
                " ".join(f"w{i}" for i in range(25)) + " " + " ".join(f"z{i}" for i in range(25)))
     assert set(fp1) & set(fp3)
+
+
+def test_repetition_stats_planted(spark):
+    from nlp_entity_linking_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 distinct -> dup_line_frac = 0.5;
+            # "buy now" bigram dominates
+            (1, "buy now\nbuy now\n\n  limited offer  \nbuy now\nlimited offer"),
+            (2, "a perfectly normal sentence with varied words here"),
+            (3, ""),  # no lines, no grams -> NULLs
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 5 and r1.n_distinct_lines == 2
+    assert abs(r1.dup_line_frac - 3 / 5) < 1e-12
+    # grams: 'buy now' appears 3x of 9 total 2-grams in doc 1's token stream
+    assert r1.top_gram_n >= 3 and r1.top_gram_frac > 0.3
+    r2 = got[2]
+    assert r2.dup_line_frac == 0.0 and r2.top_gram_n == 1
+    r3 = got[3]
+    assert r3.n_lines == 0 and r3.dup_line_frac is None
+    assert r3.top_gram_n is None and r3.top_gram_frac is None
