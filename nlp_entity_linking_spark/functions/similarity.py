@@ -303,17 +303,15 @@ def score_pairs(
 
     input_partitions: the caller's knowledge of how many partitions feed
     this stage (parquet scan width, an upstream repartition). When omitted,
-    the estimate is min(spark.sql.shuffle.partitions, defaultParallelism)
-    — conservative on purpose: the hot-path callers all feed score_pairs
-    from shuffled joins (width = shuffle.partitions), but entry points fed
-    straight from a narrow parquet scan (re-scoring persisted pairs from a
-    tool/notebook) would otherwise inherit shuffle.partitions=200 as the
-    "estimate", defeat the under-partitioning guard, and funnel the
-    CPU-bound UDF through a few Python workers. The estimate is chosen
-    WITHOUT converting the plan to an RDD (probing the RDD partition count
-    forces physical planning of the whole query just to read a number);
-    non-shuffle-fed callers should pass input_partitions explicitly (probe
-    the materialized input's partition count once, caller-side).
+    the estimate is spark.sql.shuffle.partitions — exact for every in-repo
+    caller (they all feed score_pairs from shuffled joins, whose width IS
+    shuffle.partitions). It is NOT a safe default for inputs fed straight
+    from a narrow scan (re-scoring a 1-partition parquet of persisted pairs
+    from a tool/notebook): no driver-side estimate can see that width
+    without physically planning the query (probing df.rdd forces exactly
+    that), so narrow-scan callers MUST pass input_partitions explicitly —
+    probe the materialized input's partition count once, caller-side — or
+    the CPU-bound UDF funnels through the scan's few Python workers.
     """
     stale = [c for c in ("jw", "score") if c in pairs.columns]
     if stale:
@@ -322,10 +320,7 @@ def score_pairs(
     if n_partitions is None:
         n_partitions = 2 * spark.sparkContext.defaultParallelism
     if input_partitions is None:
-        input_partitions = min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            spark.sparkContext.defaultParallelism,
-        )
+        input_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartition only when the input is under-partitioned for the worker
     # pool: a redundant repartition costs a full disk shuffle — in local
     # mode shuffles share ONE disk, so gratuitous shuffles anti-scale.
@@ -352,13 +347,24 @@ def may_reach_threshold(model: ScoreModel, threshold: float) -> Column:
     SOME jw in [0, 1] could push this pair's score to `threshold`.
 
     score = sigmoid(w1*jw + w2*tsl + w3*cos + b) is monotone in z, and jw
-    is bounded in [0, 1], so z_max = w2*tsl + w3*cos + b + max(w1, 0) is an
-    exact upper bound; z_max < logit(threshold) proves score < threshold
-    for EVERY possible jw. tsl and cos are already JVM columns, so the
-    gate is a codegen filter — pairs it rejects are certain non-edges and
-    never pay the Arrow crossing or the per-pair jw DP. EXACT pruning, not
-    approximate: the surviving set contains every pair score_pairs would
-    pass at `threshold` (tests prove set equality of the edges).
+    is bounded in [0, 1], so z_max = w2*tsl + w3*cos + b + max(w1, 0) is a
+    mathematical upper bound; z_max < logit(threshold) proves score <
+    threshold for EVERY possible jw. tsl and cos are already JVM columns,
+    so the gate is a codegen filter — pairs it rejects are certain
+    non-edges and never pay the Arrow crossing or the per-pair jw DP.
+
+    Float honesty: the gate's JVM sum (w2*tsl + w3*cos) + (b + max(w1,0))
+    and the scorer's numpy sum ((w1*jw + w2*tsl) + w3*cos) + b associate
+    differently, and the scorer compares sigmoid(z) >= t while the gate
+    compares z against log(t/(1-t)) — each a few-ulp discrepancy that
+    could drop a pair sitting EXACTLY on the boundary. The comparison
+    therefore concedes a 1e-9 margin in z-space (~10^4 ulps at |z|~20,
+    vastly above the worst-case reordering error, and ~1e-10 in score
+    units — no real pair is decided by it). The margin only ever ADMITS
+    extra pairs, which the exact scorer then rejects like any other
+    non-edge; it can never drop one. Net: the surviving set provably
+    contains every pair score_pairs would pass at `threshold` (tests prove
+    set equality of the edges).
 
     In a webtext ER pipeline most candidate pairs sit far below the match
     band, so this shrinks the Python surface to the band + accepts.
@@ -373,7 +379,7 @@ def may_reach_threshold(model: ScoreModel, threshold: float) -> Column:
         + F.lit(w3) * F.col("cos")
         + F.lit(model.bias + max(w1, 0.0))
     )
-    return z_max >= math.log(threshold / (1.0 - threshold))
+    return z_max >= math.log(threshold / (1.0 - threshold)) - 1e-9
 
 
 def logistic_expr(model: ScoreModel) -> Column:

@@ -99,6 +99,12 @@ def kmv_sketch_per_group(
     Fully distributed build: distinct (group, hash) -> per-group rank
     window -> keep rank <= k. The summary is a bounded array<long> of
     <= k elements; no unbounded collect anywhere.
+
+    The build k rides along as a `kmv_k` column: the merge law only holds
+    for merge-k <= build-k (a sketch built at k=32 DISCARDED its 33rd..
+    smallest hashes — no later merge can resurrect them), so kmv_merge
+    checks this contract against `kmv_k` and fails loudly instead of
+    silently under-estimating.
     """
     from pyspark.sql import Window
 
@@ -113,7 +119,7 @@ def kmv_sketch_per_group(
     return kept.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_h")).alias("kmv"),
         F.count("*").alias("n_retained"),
-    )
+    ).withColumn("kmv_k", F.lit(k))
 
 
 def kmv_merge(
@@ -124,12 +130,33 @@ def kmv_merge(
 ) -> DataFrame:
     """Union KMV summaries to coarser groups WITHOUT touching raw data:
     k smallest of the union of bottom-k sets == bottom-k of the full union
-    (an exact algebraic law — pytest proves merge == direct build, bitwise).
+    (an exact algebraic law — pytest proves merge == direct build, bitwise)
+    — but ONLY for merge-k <= build-k: a sketch built at k'=32 discarded
+    its 33rd.. smallest hashes, so a k=64 merge over it would present a
+    hole-riddled "bottom-64" and silently under-estimate. Inputs carrying
+    the `kmv_k` build column (kmv_sketch_per_group emits it) are checked
+    in-plan and the job fails loudly on violation; inputs without the
+    column (pre-contract persisted sketches) are trusted to satisfy it.
     Adds the standard KMV estimate (k-1) * 2^60 / kth_min as est_distinct:
     double arithmetic on exactly-representable ints — one IEEE rounding per
     op, bit-identical cross-engine — floored to a BIGINT for hashing."""
     from pyspark.sql import Window
 
+    if "kmv_k" in sketches.columns:
+        # in-plan guard folded into the exploded hash column so column
+        # pruning can't drop it: any sketch built narrower than the merge
+        # k poisons the bottom-k law -> fail the job, don't under-count
+        guard = F.when(
+            F.col("kmv_k") < F.lit(k),
+            F.raise_error(F.concat(
+                F.lit(f"kmv_merge(k={k}) over a sketch built with k="),
+                F.col("kmv_k").cast("string"),
+                F.lit(" — merge k must be <= build k"),
+            )),
+        )
+        sketches = sketches.withColumn(
+            kmv_col, F.coalesce(guard, F.col(kmv_col))
+        )
     ex = sketches.select(
         *(group_cols or []), F.explode(kmv_col).alias("_h")
     ).distinct()

@@ -21,6 +21,9 @@ Canonical form (the common normalizations that preserve fetch semantics):
   * tracking params (utm_*, fbclid, gclid) dropped from the QUERY only,
     via a '&'-sentinel so first/middle/last params all drop cleanly with
     no leftover separators
+  * query separator hygiene: '&' runs collapse ('?a=1&&b=2'), leading and
+    dangling separators drop ('?&a=1', '?a=1&') — messy-but-equivalent
+    query strings canonicalize together
   * emptied query ('?') dropped; trailing '/' dropped from the PATH
 """
 
@@ -62,7 +65,10 @@ def canonical_url(url_col) -> Column:
     # '&'-sentinel: every param (first included) is preceded by '&', so one
     # anchored pattern drops any tracking param with its own separator.
     query = F.regexp_replace(F.concat(F.lit("&"), query), TRACKING_RE, "")
-    query = F.regexp_replace(query, r"^&", "")
+    # separator hygiene: collapse '&' runs from the source ('a=1&&b=2'),
+    # then strip the sentinel plus any leading/dangling separators
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&+|&+$", "")
     qpart = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
     rebuilt = F.concat(scheme, F.lit("://"), auth, path, qpart)
     return F.when(head == "", url).otherwise(rebuilt)

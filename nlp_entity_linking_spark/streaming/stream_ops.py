@@ -188,7 +188,10 @@ def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame 
 
 
 def incremental_candidate_pairs(
-    new_blocks: DataFrame, old_blocks: DataFrame | None, salt_cap: int
+    new_blocks: DataFrame,
+    old_blocks: DataFrame | None,
+    salt_cap: int,
+    link_shards: bool = True,
 ) -> DataFrame:
     """Candidate pairs touching a new record: new x new within the batch
     (salted by batch-local sizes, like the batch pipeline) plus new x old
@@ -201,10 +204,22 @@ def incremental_candidate_pairs(
     within-shard-pairs semantics (the earlier exclusion was a streaming-only
     recall hole on template-heavy corpora). Shard counts come from COMMITTED
     sizes, not the merged corpus — a bounded approximation of batch salting
-    that refreshes at compaction."""
+    that refreshes at compaction.
+
+    link_shards mirrors the batch pipeline's cross-shard recall bridge
+    (B.cross_shard_rep_pairs): rep-chain pairs are added for batch-local
+    hot keys AND for committed hot keys TOUCHED by this batch (a key
+    present in new_blocks). Untouched committed hot keys need no re-chain:
+    their shard composition only changes when new rows arrive (which makes
+    them touched) or at compaction (after which the next touch re-chains
+    against the refreshed shard counts), so per-batch bridge work stays
+    O(shards of touched hot keys), not O(corpus/cap)."""
     from ..operators import blocking as B
 
-    nn = B.pairs_from_blocks(B.salt_blocks(new_blocks, cap=salt_cap), dedup=False)
+    hot_nn = B.hot_keys(new_blocks, salt_cap)
+    nn = B.pairs_from_blocks(B.apply_salt(new_blocks, hot_nn), dedup=False)
+    if link_shards:
+        nn = nn.unionByName(B.cross_shard_rep_pairs(new_blocks, hot_nn))
     if old_blocks is None:
         return nn.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
     hot = B.hot_keys(old_blocks, salt_cap)
@@ -218,6 +233,12 @@ def incremental_candidate_pairs(
             "block_key",
         )
     )
+    if link_shards:
+        hot_touched = hot.join(
+            new_blocks.select("block_key").distinct(), "block_key", "left_semi"
+        )
+        merged = new_blocks.unionByName(old_blocks)
+        no = no.unionByName(B.cross_shard_rep_pairs(merged, hot_touched))
     return B.merge_pairs(nn, no)
 
 
@@ -375,10 +396,18 @@ def incremental_er(
     tables and incrementally maintained stats in a production deployment.
     Hot committed keys (> salt_cap members) are salted into within-shard
     new x old joins (incremental_candidate_pairs) — the same bounded-recall
-    semantics as batch salting, not a drop. Sorted-neighborhood is
-    global-order by construction and is not run incrementally. With
-    pair-local scoring features the final clusters equal the batch pipeline
-    at use_snb=False exactly; the corpus-dependent TF-IDF cosine is
+    semantics as batch salting, not a drop — and cfg.link_shards adds the
+    same cross-shard rep-chain bridge the batch pipeline runs, over
+    batch-local hot keys and committed hot keys touched by the batch
+    (shard counts come from committed/batch-local sizes where batch uses
+    global sizes — the one remaining hot-key approximation). Sorted-
+    neighborhood is global-order by construction and is not run
+    incrementally. With pair-local scoring features the final clusters
+    equal the batch pipeline at use_snb=False exactly on inputs without
+    hot blocking keys (no salting fires anywhere); with hot keys the
+    committed-vs-global shard-size approximation can differ at the margin
+    (measured 0.133% of assignments on the 200k-page scale run). The
+    corpus-dependent TF-IDF cosine is
     computed over the epoch-visible corpus, so early-epoch scores carry
     bounded-staleness IDF — the standard incremental-ER tradeoff, refreshed
     by periodic compact() (which also folds the growing per-epoch union
@@ -436,7 +465,8 @@ def incremental_er(
             cached.append(new_blocks)
             old_blocks = _read_state(spark, cat, "blocks", epochs)
             pairs = incremental_candidate_pairs(
-                new_blocks, old_blocks, cfg.salt_cap
+                new_blocks, old_blocks, cfg.salt_cap,
+                link_shards=cfg.link_shards,
             ).persist()
             cached.append(pairs)
             merged_records = (

@@ -32,7 +32,7 @@ def test_each_query_runs_smoke(spark):
 
 
 def test_retired_queries(spark):
-    """The three registry entries retired to fit the driver's 50-query cap
+    """The five registry entries retired to fit the driver's 50-query cap
     stay exercised here (their operator families remain driver-verified by
     oracle twins — see the comment in queries())."""
     # sql_api: spark.sql over temp views must equal the DataFrame twin

@@ -131,6 +131,20 @@ def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
     assert abs(got["big"].est_distinct - 3000) / 3000 < 0.25
 
 
+def test_kmv_merge_k_contract(spark):
+    """Merging at a k wider than the build k would present a hole-riddled
+    bottom-k set and silently under-estimate — the in-plan guard must fail
+    the job instead. A merge at the build k (or narrower) stays legal."""
+    import pytest
+
+    rows = [("g", f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    fine = SK.kmv_sketch_per_group(df, ["g"], "v", k=16)
+    with pytest.raises(Exception, match="merge k must be <= build k"):
+        SK.kmv_merge(fine, ["g"], k=32).collect()
+    assert SK.kmv_merge(fine, ["g"], k=8).collect()[0].n_retained == 8
+
+
 def test_kmv_partition_layout_invariant(spark):
     """Summaries are a pure function of the value SET — any partitioning
     of the input produces identical sketches."""

@@ -315,6 +315,69 @@ def test_incremental_hot_key_salting(spark):
         assert sh(p.id_a) == sh(p.id_b), p  # new x old only within a shard
 
 
+def test_incremental_link_shards_bridge(spark):
+    """link_shards on the INCREMENTAL path mirrors the batch bridge:
+    committed hot keys touched by the batch gain rep-chain pairs across
+    their shards (bounded at shards-1 per hot key), so a template entity
+    salted into S shards can still merge transitively cross-wave."""
+    cap = 16
+    old = spark.createDataFrame(
+        [(i, "hot") for i in range(100)],
+        "record_id long, block_key string",
+    )
+    new = spark.createDataFrame(
+        [(i, "hot") for i in range(1000, 1005)],
+        "record_id long, block_key string",
+    )
+    off = {
+        (p.id_a, p.id_b)
+        for p in ST.incremental_candidate_pairs(
+            new, old, cap, link_shards=False
+        ).collect()
+    }
+    on = {
+        (p.id_a, p.id_b)
+        for p in ST.incremental_candidate_pairs(
+            new, old, cap, link_shards=True
+        ).collect()
+    }
+    extra = on - off
+    n_shards = -(-100 // cap)  # committed sizing: ceil(100/16) = 7
+    assert 1 <= len(extra) <= n_shards - 1
+    # bridge endpoints are per-shard min-record reps of the merged rows,
+    # chained across ADJACENT shards — so each extra pair must cross shards
+    ids = sorted({i for p in extra for i in p})
+    sh = {
+        r.record_id: r.s
+        for r in spark.createDataFrame(
+            [(i,) for i in ids], "record_id long"
+        ).select(
+            "record_id",
+            F.pmod(F.xxhash64("record_id", F.lit(42)), F.lit(n_shards)).alias("s"),
+        ).collect()
+    }
+    for a, b in extra:
+        assert sh[a] != sh[b], (a, b)
+    # an untouched committed hot key gets NO bridge work: a batch touching
+    # only a cold key adds zero extra pairs
+    new_cold = spark.createDataFrame(
+        [(2000, "cold"), (2001, "cold")], "record_id long, block_key string"
+    )
+    off_c = {
+        (p.id_a, p.id_b)
+        for p in ST.incremental_candidate_pairs(
+            new_cold, old, cap, link_shards=False
+        ).collect()
+    }
+    on_c = {
+        (p.id_a, p.id_b)
+        for p in ST.incremental_candidate_pairs(
+            new_cold, old, cap, link_shards=True
+        ).collect()
+    }
+    assert on_c == off_c
+
+
 def test_incremental_er_compaction(spark, tmp_path):
     """compact() folds N epochs into one generation table set: the visible
     epoch list collapses to [c1], records/clusters are preserved verbatim,

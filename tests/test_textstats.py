@@ -56,8 +56,9 @@ def test_repetition_stats_planted(spark):
 
     docs = spark.createDataFrame(
         [
-            # 4 non-empty lines, 2 distinct -> dup_line_frac = 0.5;
-            # "buy now" bigram dominates
+            # 5 non-empty lines (the blank line is dropped, the padded
+            # "  limited offer  " trims to a dup), 2 distinct ->
+            # dup_line_frac = 3/5; "buy now" bigram dominates
             (1, "buy now\nbuy now\n\n  limited offer  \nbuy now\nlimited offer"),
             (2, "a perfectly normal sentence with varied words here"),
             (3, ""),  # no lines, no grams -> NULLs

@@ -31,6 +31,14 @@ CASES = [
     ("http://a.com/x?xutm_source=1", "http://a.com/x?xutm_source=1"),
     ("http://a.com/path/?id=1", "http://a.com/path?id=1"),
     ("http://a.com/x?utm_a=1&utm_b=2&utm_c=3", "http://a.com/x"),
+    # separator hygiene — messy-but-equivalent queries canonicalize
+    # together (dangling/leading '&', '&' runs):
+    ("http://a.com/x?a=1&", "http://a.com/x?a=1"),
+    ("http://a.com/x?&a=1", "http://a.com/x?a=1"),
+    ("http://a.com/x?a=1&&b=2", "http://a.com/x?a=1&b=2"),
+    ("http://a.com/x?&&a=1&&", "http://a.com/x?a=1"),
+    ("http://a.com/x?&", "http://a.com/x"),
+    ("http://a.com/x?utm_source=t&", "http://a.com/x"),
 ]
 
 

@@ -61,15 +61,24 @@ def main() -> None:
         extra_conf={"spark.local.dir": local_dir},
     )
 
-    def _dir_bytes(root: str) -> int:
-        total = 0
+    def _files(root: str) -> dict:
+        """path -> size snapshot. Shuffle volume is measured as the sum of
+        files CREATED during the run (path-set difference), NOT a total-
+        size delta: clearCache() releases earlier runs' shuffle
+        dependencies and the ContextCleaner deletes their files
+        asynchronously — possibly inside the next timed window — which
+        would erode (even negate) a size delta while the new-files sum
+        stays exact (the measured job's shuffle files live until its RDDs
+        are GC'd, i.e. past the scan)."""
+        out = {}
         for dirpath, _dirnames, filenames in os.walk(root):
             for f in filenames:
+                p = os.path.join(dirpath, f)
                 try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
+                    out[p] = os.path.getsize(p)
                 except OSError:
                     pass
-        return total
+        return out
 
     walls = []
     shuffle_bytes = 0
@@ -82,13 +91,14 @@ def main() -> None:
         spark.catalog.clearCache()
         records = spark.read.parquet(rec_path).persist()
         n_records = records.count()
-        before = _dir_bytes(local_dir)
+        before = _files(local_dir)
         t0 = time.perf_counter()
         n_pairs = P.build_candidate_pairs(records, cfg).count()
         w = time.perf_counter() - t0
         if i > 0:
             walls.append(w)
-        shuffle_bytes = _dir_bytes(local_dir) - before
+        after = _files(local_dir)
+        shuffle_bytes = sum(s for p, s in after.items() if p not in before)
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -7,10 +7,14 @@ incremental path's cost tracks the BATCH size, not the corpus size) and
 verifies the final streamed clusters are IDENTICAL to the batch pipeline
 over the union of all pages.
 
-cfg uses use_snb=False and link_shards=False: the streaming blocker is
-LSH-only and has no cross-shard representative chain, so the equality
-check must compare like with like (both paths still salt hot keys and
-gate scoring identically).
+cfg uses use_snb=False (sorted-neighborhood is global-order by
+construction and is not run incrementally); link_shards stays at its
+default True on BOTH paths — the streaming blocker now runs the same
+cross-shard rep-chain bridge as batch (over batch-local hot keys plus
+committed hot keys the batch touches), so the comparison exercises the
+production configuration. Residual divergence on hot keys comes from
+shard counts (committed/batch-local sizes vs batch's global sizes) and
+is quantified, not hidden, by the diff_fraction output.
 
 Usage: python tools/bench_streaming_scale.py [seed_pages] [n_waves] [wave_pages]
 """
@@ -40,7 +44,7 @@ def main() -> None:
     from nlp_entity_linking_spark.streaming import stream_ops as ST
 
     spark = get_spark(app_name="bench_streaming_scale")
-    cfg = P.PipelineConfig(use_snb=False, link_shards=False)
+    cfg = P.PipelineConfig(use_snb=False)
     work = tempfile.mkdtemp(prefix="bench_stream_scale_")
     src = f"{work}/pages_in"
     out = f"{work}/cat"
@@ -99,9 +103,14 @@ def main() -> None:
     # scale the two partitions can differ on hot-key members. Quantify it:
     # how many records sit in a differing assignment, not just a bool.
     diff_records = {r for r, _ in s_rows ^ b_rows}
-    k = max(3, len(wave_walls) // 3)
-    head = sorted(wave_walls[:k])[k // 2]
-    tail = sorted(wave_walls[-k:])[k // 2]
+    # head/tail medians over thirds, clamped so n_waves < 3 still reports
+    # (a 1-wave smoke run compares the wave against itself, ratio 1.0)
+    if wave_walls:
+        k = min(len(wave_walls), max(3, len(wave_walls) // 3))
+        head = sorted(wave_walls[:k])[(k - 1) // 2]
+        tail = sorted(wave_walls[-k:])[(k - 1) // 2]
+    else:
+        head = tail = None
     print(
         json.dumps(
             {
@@ -112,7 +121,7 @@ def main() -> None:
                 "wave_walls_sec": wave_walls,
                 "median_head_sec": head,
                 "median_tail_sec": tail,
-                "tail_over_head": round(tail / head, 3),
+                "tail_over_head": round(tail / head, 3) if head else None,
                 "clusters_byte_equal_to_batch": s_rows == b_rows,
                 "n_records_in_differing_assignments": len(diff_records),
                 "diff_fraction": round(len(diff_records) / max(len(s_rows), 1), 6),
