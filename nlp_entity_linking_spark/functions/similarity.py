@@ -308,7 +308,7 @@ def score_pairs(
     shuffle.partitions). It is NOT a safe default for inputs fed straight
     from a narrow scan (re-scoring a 1-partition parquet of persisted pairs
     from a tool/notebook): no driver-side estimate can see that width
-    without physically planning the query (probing df.rdd forces exactly
+    without physically planning the query (an RDD partition probe forces exactly
     that), so narrow-scan callers MUST pass input_partitions explicitly —
     probe the materialized input's partition count once, caller-side — or
     the CPU-bound UDF funnels through the scan's few Python workers.
