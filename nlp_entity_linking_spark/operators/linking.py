@@ -185,6 +185,20 @@ def link_pipeline(
     return link_collective(cands) if collective else link_mentions(cands)
 
 
+def with_nil_mentions(linked: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Re-attach NIL mentions (no KB candidate — standard EL output
+    contract): a left join of the mention spine against the linked rows;
+    unlinked mentions surface with entity_id NULL instead of silently
+    dropping out of the output. One thin-keyed equi-join, no new shuffle
+    shape."""
+    spine = mentions.select(
+        "doc_id", "mention_id", normalize("surface").alias("alias_norm")
+    )
+    return spine.join(
+        linked.select("mention_id", "entity_id"), "mention_id", "left"
+    ).select("doc_id", "mention_id", "alias_norm", "entity_id")
+
+
 def mentions_from_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter: documents(doc_id, text) -> mention rows for link_pipeline,
     reusing the engine's mention extraction (extract.extract_mentions_text)

@@ -102,6 +102,19 @@ def test_local_and_collective_linking(spark):
     assert len(local) == len(_mention_rows()) - 1 == len(joint)
 
 
+def test_with_nil_mentions(spark):
+    """The NIL contract: every input mention appears exactly once; the
+    unlinkable one carries entity_id NULL."""
+    kb, men = _frames(spark)
+    linked = L.link_pipeline(men, kb, collective=True)
+    full = L.with_nil_mentions(linked, men).collect()
+    assert len(full) == len(_mention_rows())
+    by_id = {r.mention_id: r for r in full}
+    assert by_id[21].entity_id is None
+    assert by_id[21].alias_norm == "nosuchthing"
+    assert by_id[0].entity_id == 1
+
+
 def test_prepare_aliases_cap(spark):
     rows = [("Crowded", i, 1000 - i, f"desc {i}") for i in range(30)]
     kb = spark.createDataFrame(
