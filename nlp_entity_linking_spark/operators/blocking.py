@@ -298,30 +298,74 @@ def snb_global_rank(
     key_col: str = "norm",
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """Global dense rank under total order (key_col, record_id) WITHOUT the
+    """Global rank under total order (key_col, record_id) WITHOUT the
     single-partition-window straggler (SURVEY.md D3, §4.2).
 
-    range-repartition -> per-partition row_number -> driver-side offsets
-    (n_partitions rows only) -> global rank. The rank is a pure function of
-    the total order, so it is independent of where range boundaries land.
+    Deterministic bucketed form: seed-free sampled key boundaries ->
+    per-BUCKET row_number window -> driver-side offsets (one row per
+    bucket) -> global rank.
+
+    Why not repartitionByRange + spark_partition_id (the previous form):
+    RangePartitioner samples its boundaries with a seed derived from the
+    fresh RDD id, so every physical RE-execution draws DIFFERENT
+    boundaries — and the driver-collected offsets were baked against the
+    partition ids of the execution that collected them. The persist that
+    held the two in sync was CORRECTNESS-load-bearing: an evicted/cleared
+    cache (inevitable under executor memory pressure at the 10^12 tier)
+    silently recomputed ranks against stale offsets, yielding wrong/
+    missing SNB pairs (measured: candidate-pair count drifted 811,485 ->
+    887k-895k across clearCache re-executions at 100k records). Here the
+    bucket of a row is a PURE FUNCTION of its key (boundaries come from a
+    deterministic xxhash-residue sample, collected once as plan literals),
+    so any recomputation — cache hit, eviction, resume — lands every row
+    in the same bucket and the offsets stay valid forever.
+
+    Window cardinality: one window partition per bucket (n_partitions
+    knob), each ~n/buckets rows by boundary construction — the same
+    parallelism contract the range form had, still no global window.
     """
     spark = records.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
-    r = (
-        records.select("record_id", key_col)
-        .repartitionByRange(n_partitions, F.col(key_col), F.col("record_id"))
-        .withColumn("_pid", F.spark_partition_id())
+    keyed = records.select("record_id", key_col)
+    # seed-free boundary sample (~128 keys per target bucket), sorted
+    # driver-side; n passed when known is a micro-opt callers can skip
+    from ..functions.sampling import bounded_sample
+
+    sample = sorted(
+        row[0]
+        for row in bounded_sample(
+            keyed.select(key_col), (key_col,), 128 * n_partitions
+        ).collect()
     )
-    w = Window.partitionBy("_pid").orderBy(F.col(key_col), F.col("record_id"))
+    step = max(1, len(sample) // n_partitions)
+    bounds = sorted({sample[i] for i in range(step, len(sample), step)})
+    if bounds:
+        # bucket = |{boundary <= key}|: monotone in key, equal keys share a
+        # bucket. Unrolled when-sum (not an array HOF): lambda HOFs run
+        # interpreted per row while this stays whole-stage codegen — the
+        # same unroll-over-HOF call phonetic_blocks/simhash made; |bounds|
+        # ~ parallelism, so the per-row comparison count is tiny.
+        terms = [
+            F.when(F.lit(b) <= F.col(key_col), 1).otherwise(0) for b in bounds
+        ]
+        bucket = terms[0]
+        for t in terms[1:]:
+            bucket = bucket + t
+    else:
+        bucket = F.lit(0)
+    r = keyed.withColumn("_bucket", bucket)
+    w = Window.partitionBy("_bucket").orderBy(F.col(key_col), F.col("record_id"))
     r = r.withColumn("_local", F.row_number().over(w))
-    # two actions read this plan (offset count + final rank): persist once.
+    # persist is an OPTIMIZATION here (offsets count + final read share the
+    # window), never a correctness dependency: recomputation reproduces
+    # identical buckets/ranks bit-for-bit.
     r = r.persist()
-    counts = r.groupBy("_pid").count().orderBy("_pid").collect()
+    counts = r.groupBy("_bucket").count().orderBy("_bucket").collect()
     offsets = {}
     acc = 0
     for row in counts:
-        offsets[row["_pid"]] = acc
+        offsets[row["_bucket"]] = acc
         acc += row["count"]
     off = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
@@ -329,7 +373,7 @@ def snb_global_rank(
     return r.select(
         "record_id",
         key_col,
-        (F.col("_local") - 1 + off[F.col("_pid")]).alias("rank"),
+        (F.col("_local") - 1 + off[F.col("_bucket")]).alias("rank"),
     )
 
 

@@ -94,6 +94,29 @@ def test_snb_global_rank_is_total_order(spark):
     assert [x[1] for x in ranks] == sorted(x[1] for x in ranks)
 
 
+def test_snb_rank_deterministic_across_reexecution(spark):
+    """Ranks (and therefore SNB candidate pairs) must be a pure function of
+    the DATA — bit-identical when every cache is dropped and the plan
+    physically re-executes. The retired repartitionByRange form failed
+    this: RangePartitioner re-samples boundaries per execution (seeded by
+    the fresh RDD id) while the driver-collected offsets stayed baked to
+    the FIRST execution's partition ids, so a cleared/evicted cache
+    silently corrupted ranks (measured 811,485 -> ~890k candidate pairs at
+    100k records)."""
+    r = _records(spark, [f"k{i % 977:03d}x{i:05d}" for i in range(4000)])
+    ranked = B.snb_global_rank(r, "norm", n_partitions=13)
+    first = sorted((row.record_id, row.rank) for row in ranked.collect())
+    spark.catalog.clearCache()
+    again = sorted((row.record_id, row.rank) for row in ranked.collect())
+    spark.catalog.clearCache()
+    rebuilt = sorted(
+        (row.record_id, row.rank)
+        for row in B.snb_global_rank(r, "norm", n_partitions=13).collect()
+    )
+    assert first == again == rebuilt
+    assert [x[1] for x in sorted(first, key=lambda t: t[1])] == list(range(4000))
+
+
 def test_phonetic_blocks_pair_spelling_variants(spark):
     from nlp_entity_linking_spark.operators import blocking as B
 
