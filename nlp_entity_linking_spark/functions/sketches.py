@@ -185,6 +185,10 @@ def kmv_merge(
         "kmv",
         "n_retained",
         F.floor(est).cast("long").alias("est_distinct"),
+        # re-emit the contract column: a merge output is itself a bottom-k
+        # sketch at THIS k, so a second-level rollup at a wider k must trip
+        # the same guard instead of silently bypassing it
+        F.lit(k).alias("kmv_k"),
     )
 
 

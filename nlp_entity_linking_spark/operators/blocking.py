@@ -321,33 +321,48 @@ def snb_global_rank(
     in the same bucket and the offsets stay valid forever.
 
     Window cardinality: one window partition per bucket (n_partitions
-    knob), each ~n/buckets rows by boundary construction — the same
-    parallelism contract the range form had, still no global window.
+    knob). Boundaries are (key, record_id) TUPLES sampled from full rows,
+    so bucket mass tracks ROW mass and a hot key's duplicate run is SPLIT
+    across buckets at record_id cut points — key-only boundaries would
+    funnel a Zipfian surface ('john smith' x 10^7) into one straggler
+    window, the very thing this operator exists to avoid. The tuple-hash
+    sample is also what bounds the driver collect: xxhash64(key,
+    record_id) is unique per row, so the residue filter keeps ~cap rows
+    under ANY key skew (a key-only hash would collect a sampled mega-key's
+    entire row mass). NULL keys never enter the boundary list; their rows
+    compare false against every boundary and land in bucket 0, matching
+    the window's nulls-first order.
     """
     spark = records.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
     keyed = records.select("record_id", key_col)
-    # seed-free boundary sample (~128 keys per target bucket), sorted
-    # driver-side; n passed when known is a micro-opt callers can skip
+    # seed-free boundary sample (~128 rows per target bucket), sorted
+    # driver-side by the (key, record_id) total order
     from ..functions.sampling import bounded_sample
 
     sample = sorted(
-        row[0]
+        (row[1], row[0])
         for row in bounded_sample(
-            keyed.select(key_col), (key_col,), 128 * n_partitions
+            keyed, (key_col, "record_id"), 128 * n_partitions
         ).collect()
+        if row[1] is not None
     )
     step = max(1, len(sample) // n_partitions)
     bounds = sorted({sample[i] for i in range(step, len(sample), step)})
     if bounds:
-        # bucket = |{boundary <= key}|: monotone in key, equal keys share a
-        # bucket. Unrolled when-sum (not an array HOF): lambda HOFs run
-        # interpreted per row while this stays whole-stage codegen — the
-        # same unroll-over-HOF call phonetic_blocks/simhash made; |bounds|
-        # ~ parallelism, so the per-row comparison count is tiny.
+        # bucket = |{boundary <= (key, record_id)}| lexicographic: monotone
+        # along the total order. Unrolled when-sum (not an array HOF):
+        # lambda HOFs run interpreted per row while this stays whole-stage
+        # codegen — the same unroll-over-HOF call phonetic_blocks/simhash
+        # made; |bounds| ~ parallelism, so the per-row count is tiny.
+        k, rid = F.col(key_col), F.col("record_id")
         terms = [
-            F.when(F.lit(b) <= F.col(key_col), 1).otherwise(0) for b in bounds
+            F.when(
+                (k > F.lit(bk)) | ((k == F.lit(bk)) & (rid >= F.lit(bi))),
+                1,
+            ).otherwise(0)
+            for bk, bi in bounds
         ]
         bucket = terms[0]
         for t in terms[1:]:

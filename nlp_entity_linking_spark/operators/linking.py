@@ -58,10 +58,12 @@ def prepare_aliases(aliases: DataFrame, n_cand: int = 16) -> DataFrame:
     (prior desc, entity_id asc).
 
     Input: (alias, entity_id long, prior long, desc_tokens array<string>).
-    Output adds alias_norm and drops everything beyond the cap — THE bound
-    that keeps candidate generation linear in mentions. Ambiguous-surface
-    skew lives on the KB side, so capping here (not post-join) means the
-    quadratic term never materializes."""
+    Output adds alias_norm, pre-computes the description token SET (sorted
+    distinct — paid once per KB row here, never per joined candidate), and
+    drops everything beyond the cap — THE bound that keeps candidate
+    generation linear in mentions. Ambiguous-surface skew lives on the KB
+    side, so capping here (not post-join) means the quadratic term never
+    materializes."""
     w = Window.partitionBy("alias_norm").orderBy(
         F.col("prior").desc(), F.col("entity_id").asc()
     )
@@ -70,6 +72,7 @@ def prepare_aliases(aliases: DataFrame, n_cand: int = 16) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_cand)
         .drop("_rn")
+        .withColumn("desc_set", token_set("desc_tokens"))
     )
 
 
@@ -92,14 +95,18 @@ def candidate_entities(
     callers who KNOW the capped table fits executor memory set this and
     the join becomes a shuffle-free broadcast-hash (the repo's explicit-
     over-defaulted broadcast policy, cf. plans/pipeline.py)."""
-    m = mentions.withColumn("alias_norm", normalize("surface"))
-    a = aliases_capped.select("alias_norm", "entity_id", "prior", "desc_tokens")
+    # token SETS are computed per mention / per KB row BEFORE the join —
+    # post-join they would re-sort the full document context once per
+    # candidate (n_cand x the dominant CPU); the join row pays only the
+    # array_intersect
+    m = mentions.withColumn("alias_norm", normalize("surface")).withColumn(
+        "_ctx_set", token_set("ctx_tokens")
+    )
+    a = aliases_capped.select("alias_norm", "entity_id", "prior", "desc_set")
     if broadcast_aliases:
         a = F.broadcast(a)
     j = m.join(a, "alias_norm")
-    overlap = F.size(
-        F.array_intersect(token_set("ctx_tokens"), token_set("desc_tokens"))
-    )
+    overlap = F.size(F.array_intersect(F.col("_ctx_set"), F.col("desc_set")))
     return j.select(
         "doc_id",
         "mention_id",
@@ -141,9 +148,16 @@ def link_collective(cands: DataFrame) -> DataFrame:
     mentions "jaguar" (3x near 'engine', 1x ambiguous) links all four to
     the carmaker because the group's pooled context outvotes the lone
     mention's prior. Shuffle: one partial-aggregated groupBy + one window
-    over (doc_id, alias_norm) — both keyed at document granularity."""
+    over (doc_id, alias_norm) — both keyed at document granularity.
+
+    The vote sums in decimal(38,0): scores reach ~2^50 (overlap * 2^40),
+    so a long SUM over a boilerplate page repeating one surface tens of
+    thousands of times could pass 2^63 — ANSI mode would abort the job on
+    one pathological document (and non-ANSI would wrap negative and pick
+    the wrong entity silently). Decimal keeps the vote exact to 10^38;
+    DuckDB's twin SUM(BIGINT) is already HUGEINT."""
     votes = cands.groupBy("doc_id", "alias_norm", "entity_id").agg(
-        F.sum("score").alias("vote")
+        F.sum(F.col("score").cast("decimal(38,0)")).alias("vote")
     )
     winner = _argmax(
         votes,
@@ -202,8 +216,11 @@ def with_nil_mentions(linked: DataFrame, mentions: DataFrame) -> DataFrame:
 def mentions_from_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter: documents(doc_id, text) -> mention rows for link_pipeline,
     reusing the engine's mention extraction (extract.extract_mentions_text)
-    with the document's token set as context. mention_id is derived from
-    (doc_id, mention ordinal) — deterministic, collision-free longs."""
+    with the document's token set as context. mention_id =
+    xxhash64('m', doc_id, ordinal): deterministic at any doc_id magnitude
+    (a doc_id*2^20+pos scheme would collide past 2^20 mentions per doc and
+    overflow ANSI longs past doc_id ~2^43); a 64-bit hash collision is the
+    same ~2^-64-per-pair event apply_salt already documents and accepts."""
     from ..functions.extract import extract_mentions_text
 
     ex = docs.select(
@@ -215,7 +232,9 @@ def mentions_from_documents(docs: DataFrame, text_col: str = "text") -> DataFram
     )
     return ex.select(
         "doc_id",
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("_pos")).alias("mention_id"),
+        F.xxhash64(F.lit("m"), F.col("doc_id"), F.col("_pos")).alias(
+            "mention_id"
+        ),
         F.col("_m").alias("surface"),
         "ctx_tokens",
     )

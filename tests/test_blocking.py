@@ -117,6 +117,19 @@ def test_snb_rank_deterministic_across_reexecution(spark):
     assert [x[1] for x in sorted(first, key=lambda t: t[1])] == list(range(4000))
 
 
+def test_snb_rank_hot_key_skew(spark):
+    """A Zipfian key (60% of rows share one surface) must still rank
+    correctly: tuple (key, record_id) boundaries split the duplicate run
+    by record_id instead of funneling it into one straggler bucket."""
+    vals = ["hotkey"] * 3000 + [f"x{i:04d}" for i in range(2000)]
+    r = _records(spark, vals)
+    ranked = B.snb_global_rank(r, "norm", n_partitions=11).collect()
+    by_rank = sorted(ranked, key=lambda row: row.rank)
+    assert [row.rank for row in by_rank] == list(range(5000))
+    order = [(row.norm, row.record_id) for row in by_rank]
+    assert order == sorted(order)
+
+
 def test_phonetic_blocks_pair_spelling_variants(spark):
     from nlp_entity_linking_spark.operators import blocking as B
 
