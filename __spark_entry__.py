@@ -658,16 +658,11 @@ def q_rolling_fp_verify_docs(spark, sf_dir):
     )
 
 
-def q_mentions_regex_docs(spark, sf_dir):
-    """C5 plain-text mention path: capitalized-run mentions via JVM
-    regexp_extract_all + explode (one row per mention). The synthetic docs
-    are all-lowercase, so the query first capitalizes tokens starting a-f
-    deterministically (same rule in the oracle) to plant realistic runs."""
-    _prep(spark)
-    from nlp_entity_linking_spark.functions.extract import extract_mentions_text
-
-    d = _t(spark, sf_dir, "documents")
-    cap = F.array_join(
+def _planted_caps():
+    """The synthetic docs are all-lowercase; capitalize tokens starting a-f
+    deterministically (same rule mirrored in the oracles) so the engine's
+    capitalized-run mention extraction finds realistic surface runs."""
+    return F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
             lambda t: F.when(
@@ -677,8 +672,67 @@ def q_mentions_regex_docs(spark, sf_dir):
         ),
         " ",
     )
+
+
+def q_mentions_regex_docs(spark, sf_dir):
+    """C5 plain-text mention path: capitalized-run mentions via JVM
+    regexp_extract_all + explode (one row per mention)."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.extract import extract_mentions_text
+
+    d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.explode(extract_mentions_text(cap)).alias("mention")
+        "doc_id", F.explode(extract_mentions_text(_planted_caps())).alias("mention")
+    )
+
+
+def q_linking_docs(spark, sf_dir):
+    """The namesake capability on the driver scoreboard: dictionary KB
+    entity linking with the collective one-entity-per-discourse pass
+    (operators/linking.py — alias cap, candidate equi-join, integer
+    context-overlap x 2^40 + prior scores, decimal vote sum, deterministic
+    argmax).
+
+    Mentions come from the engine's capitalized-run extraction over the
+    documents table (same planted-capitalization rule as
+    mentions_regex_docs). The KB derives deterministically from the
+    distinct mention surfaces: two candidate entities per alias whose
+    ids/priors are md5-60bit integers (the proven cross-engine trick) and
+    whose descriptions differ by one corpus token ('spark' vs 'vector' —
+    neither can appear inside an alias, which holds only a-f-initial
+    words), so context overlap picks a per-document winner and the prior
+    breaks overlap ties, entity_id makes the order total. Output: the
+    collectively chosen entity per (doc, alias) + mention multiplicity —
+    all ints/strings, hash-stable."""
+    _prep(spark)
+    from nlp_entity_linking_spark.functions.normalize import normalize
+    from nlp_entity_linking_spark.operators import linking as L
+
+    d = _t(spark, sf_dir, "documents")
+    mentions = L.mentions_from_documents(
+        d.select("doc_id", _planted_caps().alias("text"))
+    )
+
+    def md5long(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    al = mentions.select(normalize("surface").alias("alias")).distinct()
+    kb = None
+    for k, extra in ((1, "spark"), (2, "vector")):
+        part = al.select(
+            "alias",
+            md5long(F.concat(F.col("alias"), F.lit(f"#{k}"))).alias("entity_id"),
+            (md5long(F.concat(F.col("alias"), F.lit(f"p{k}"))) % 900 + 100).alias(
+                "prior"
+            ),
+            F.concat(F.split("alias", " "), F.array(F.lit(extra))).alias(
+                "desc_tokens"
+            ),
+        )
+        kb = part if kb is None else kb.unionByName(part)
+    linked = L.link_pipeline(mentions, kb, n_cand=16, collective=True)
+    return linked.groupBy("doc_id", "alias_norm", "entity_id").agg(
+        F.count("*").alias("n_mentions")
     )
 
 
@@ -1171,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                         simhash_verify_docs, signature equality pytest
     #   fingerprint_docs   -> family driver-verified by
     #                         rolling_fp_verify_docs (md5 winnowing twin)
+    #   ntile_orders       -> G2 window family driver-verified by
+    #                         window_topk + percent_rank_orders; made room
+    #                         for linking_docs (the namesake capability)
     # (simhash_docs / fingerprint_docs made room for kmv_rollup_events and
     # repetition_docs, both hash-green.)
     return {
@@ -1205,7 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_orders": q_lateral_orders,
         "string_funcs_parts": q_string_funcs_parts,
         "union_docs": q_union_docs,
-        "ntile_orders": q_ntile_orders,
+        "linking_docs": q_linking_docs,
         "median_qty": q_median_qty,
         "datetime_parts": q_datetime_parts,
         "unpivot_lineitem": q_unpivot_lineitem,
@@ -1663,15 +1720,54 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id >= 200 AND doc_id < 400))
             GROUP BY lang
         """,
-        "ntile_orders": """
-            SELECT c_mktsegment, q, count(*) AS n,
-                   min(o_orderkey) AS min_order
-            FROM (
-              SELECT c_mktsegment, o_orderkey,
-                     ntile(4) OVER (PARTITION BY c_mktsegment
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS q
-              FROM orders JOIN customer ON o_custkey = c_custkey)
-            GROUP BY c_mktsegment, q
+        "linking_docs": f"""
+            WITH c AS (SELECT doc_id,
+                              array_to_string(list_transform(
+                                string_split(text, ' '),
+                                t -> CASE WHEN regexp_matches(t, '^[a-f]')
+                                          THEN upper(t[1:1]) || t[2:]
+                                          ELSE t END), ' ') AS cap,
+                              list_sort(list_distinct(list_filter(
+                                string_split(text, ' '),
+                                x -> x <> ''))) AS cset
+                       FROM documents),
+                 m0 AS (SELECT doc_id,
+                               unnest(regexp_extract_all(cap,
+                                 '[A-Z][a-z]+(?: [A-Z][a-z]+)+')) AS mention
+                        FROM c),
+                 m AS (SELECT doc_id, lower(mention) AS alias_norm,
+                              count(*) AS n_m
+                       FROM m0 GROUP BY doc_id, lower(mention)),
+                 al AS (SELECT DISTINCT alias_norm FROM m),
+                 kb AS (
+                   SELECT alias_norm,
+                          {_MD5LONG_SQL.format(c="alias_norm || '#1'")}
+                            AS entity_id,
+                          {_MD5LONG_SQL.format(c="alias_norm || 'p1'")}
+                            % 900 + 100 AS prior,
+                          list_sort(list_distinct(
+                            string_split(alias_norm, ' ') || ['spark']))
+                            AS dset
+                   FROM al
+                   UNION ALL
+                   SELECT alias_norm,
+                          {_MD5LONG_SQL.format(c="alias_norm || '#2'")},
+                          {_MD5LONG_SQL.format(c="alias_norm || 'p2'")}
+                            % 900 + 100,
+                          list_sort(list_distinct(
+                            string_split(alias_norm, ' ') || ['vector']))
+                   FROM al),
+                 cands AS (
+                   SELECT m.doc_id, m.alias_norm, m.n_m, k.entity_id,
+                          CAST(len(list_intersect(c.cset, k.dset)) AS BIGINT)
+                            * 1099511627776 + k.prior AS score
+                   FROM m JOIN kb k USING (alias_norm)
+                          JOIN c USING (doc_id))
+            SELECT doc_id, alias_norm, entity_id, n_m AS n_mentions FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id, alias_norm
+                       ORDER BY score * n_m DESC, entity_id ASC) AS rn
+              FROM cands) WHERE rn = 1
         """,
         "unpivot_lineitem": """
             SELECT l_returnflag, metric, val FROM (

@@ -81,6 +81,38 @@ def token_vocabulary_sketch(
     return distinct_sketch_per_group(ex, [group_col], "_tok", lgk)
 
 
+def _bottom_k(dis: DataFrame, group_cols: list[str], k: int,
+              n_shards: int = 64) -> DataFrame:
+    """Two-level distributed bottom-k over a `_h` hash column.
+
+    Level 1 ranks within (group, pmod(_h, n_shards)) — every sort task
+    handles ~distinct/n_shards rows and keeps <= k; level 2 ranks the
+    <= n_shards*k survivors per group. A single per-group window would
+    funnel ALL distinct hashes of a group into one task's sort (a
+    10^9-distinct group = a one-task straggler even though only k rows
+    survive). Bit-identical to the single-window form: the k smallest of
+    the union of per-shard k-smallest ARE the global k smallest — the same
+    algebraic law kmv_merge's pytest proves. group_cols=[] -> one global
+    group (level-2 window partitions on a constant, input already bounded
+    at n_shards*k rows)."""
+    from pyspark.sql import Window
+
+    dis = dis.withColumn("_shard", F.pmod(F.col("_h"), F.lit(int(n_shards))))
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy("_h")
+    local = (
+        dis.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_shard")
+    )
+    w2 = (
+        Window.partitionBy(*group_cols) if group_cols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy("_h")
+    return local.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= k
+    ).drop("_rn")
+
+
 def kmv_sketch_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -96,8 +128,10 @@ def kmv_sketch_per_group(
     thing a DataSketches HLL binary can never offer (HIP estimates are
     build-order dependent).
 
-    Fully distributed build: distinct (group, hash) -> per-group rank
-    window -> keep rank <= k. The summary is a bounded array<long> of
+    Fully distributed build: distinct (group, hash) -> two-level bottom-k
+    (`_bottom_k`: per-(group, hash-shard) local rank, then a rank over the
+    bounded survivors) -> keep rank <= k. No task ever sorts a whole
+    group's distinct set, and the summary is a bounded array<long> of
     <= k elements; no unbounded collect anywhere.
 
     The build k rides along as a `kmv_k` column: the merge law only holds
@@ -106,16 +140,11 @@ def kmv_sketch_per_group(
     checks this contract against `kmv_k` and fails loudly instead of
     silently under-estimating.
     """
-    from pyspark.sql import Window
-
     from .textstats import md5_long
 
     h = md5_long(F.col(value_col))
     dis = df.select(*group_cols, h.alias("_h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    kept = dis.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    kept = _bottom_k(dis, group_cols, k)
     return kept.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_h")).alias("kmv"),
         F.count("*").alias("n_retained"),
@@ -140,8 +169,6 @@ def kmv_merge(
     Adds the standard KMV estimate (k-1) * 2^60 / kth_min as est_distinct:
     double arithmetic on exactly-representable ints — one IEEE rounding per
     op, bit-identical cross-engine — floored to a BIGINT for hashing."""
-    from pyspark.sql import Window
-
     if "kmv_k" in sketches.columns:
         # in-plan guard folded into the exploded hash column so column
         # pruning can't drop it: any sketch built narrower than the merge
@@ -160,15 +187,10 @@ def kmv_merge(
     ex = sketches.select(
         *(group_cols or []), F.explode(kmv_col).alias("_h")
     ).distinct()
-    if group_cols:
-        w = Window.partitionBy(*group_cols).orderBy("_h")
-    else:
-        from pyspark.sql import Window as _W
-
-        w = _W.partitionBy(F.lit(1)).orderBy("_h")
-    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    # two-level bottom-k here too: a rollup over 10^6 shard sketches puts
+    # n_sketches x k hashes into one group — the same one-task straggler
+    # sort the build path avoids (see _bottom_k)
+    kept = _bottom_k(ex, group_cols or [], k)
     agg = kept.groupBy(*(group_cols or [])).agg(
         F.sort_array(F.collect_list("_h")).alias("kmv"),
         F.count("*").alias("n_retained"),

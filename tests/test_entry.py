@@ -32,7 +32,7 @@ def test_each_query_runs_smoke(spark):
 
 
 def test_retired_queries(spark):
-    """The five registry entries retired to fit the driver's 50-query cap
+    """The six registry entries retired to fit the driver's 50-query cap
     stay exercised here (their operator families remain driver-verified by
     oracle twins — see the comment in queries())."""
     # sql_api: spark.sql over temp views must equal the DataFrame twin
@@ -69,6 +69,16 @@ def test_retired_queries(spark):
     # md5-of-normalized-text fingerprint, one per doc, dup-consistent
     fp = E.q_fingerprint_docs(spark, SF)
     assert fp.count() == n_docs and fp.select("fp").distinct().count() <= n_docs
+    # ntile_orders (made room for the hash-green linking_docs): quartile
+    # labels partition each segment near-evenly and cover 1..4
+    nt = E.q_ntile_orders(spark, SF).collect()
+    qs = {r.q for r in nt}
+    assert qs <= {1, 2, 3, 4}
+    by_seg: dict = {}
+    for r in nt:
+        by_seg.setdefault(r.c_mktsegment, {})[r.q] = r.n
+    for seg, counts in by_seg.items():
+        assert max(counts.values()) - min(counts.values()) <= 1, seg
 
 
 def test_entry_smoke(spark):
