@@ -406,7 +406,13 @@ def incremental_er(
     equal the batch pipeline at use_snb=False exactly on inputs without
     hot blocking keys (no salting fires anywhere); with hot keys the
     committed-vs-global shard-size approximation can differ at the margin
-    (measured 0.133% of assignments on the 200k-page scale run). The
+    (measured 0.133% of assignments on the 200k-page scale run), and the
+    divergence is FENCED: every candidate pair the two paths disagree on
+    has both endpoints inside globally-hot blocks (batch-local hot implies
+    committed hot implies globally hot), so records outside hot blocks get
+    provably identical assignments
+    (tests/test_streaming.py::test_incremental_vs_batch_divergence_fence
+    proves both the pair fence and its cluster-level consequence). The
     corpus-dependent TF-IDF cosine is
     computed over the epoch-visible corpus, so early-epoch scores carry
     bounded-staleness IDF — the standard incremental-ER tradeoff, refreshed

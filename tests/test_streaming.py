@@ -546,3 +546,106 @@ def test_incremental_er_foreach_batch(spark, tmp_path):
     got = {(r.record_id, r.cluster_id) for r in clusters.collect()}
     want = {(r.record_id, r.cluster_id) for r in bclusters.collect()}
     assert got == want
+
+
+def test_incremental_vs_batch_divergence_fence(spark, tmp_path):
+    """FENCE for the documented streamed-vs-batch hot-key approximation
+    (incremental_candidate_pairs shards hot keys by committed/batch-local
+    sizes where batch uses global sizes; 0.133% of assignments diverged at
+    the 200k bench run): every candidate pair the two paths DISAGREE on has
+    BOTH endpoints inside globally-hot blocks, and every divergent cluster
+    assignment lies in a cluster containing a hot-block member.
+
+    The pair fence is the mechanism bound (batch-local hot implies
+    committed-size hot implies globally hot, so every salting decision the
+    two paths make differently is confined to H x H); the cluster fence is
+    its transitive consequence (an edge difference can only re-wire a
+    cluster that contains one of its endpoints). Together: records outside
+    hot blocks provably get IDENTICAL assignments."""
+    from nlp_entity_linking_spark.functions.similarity import ScoreModel
+    from nlp_entity_linking_spark.operators import blocking as B
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    # small salt_cap + template-heavy corpus -> real hot keys (58 members
+    # at these settings) and a NON-EMPTY pair symmetric difference (19
+    # pairs measured) — the fence is exercised, not vacuous
+    cfg = P.PipelineConfig(
+        use_snb=False,
+        salt_cap=4,
+        model=ScoreModel(weights=(2.0, 8.0, 0.0), bias=-6.0),
+    )
+    pages, _ = gen_pages(spark, 400)
+    path = str(tmp_path / "pages_in")
+    pages.repartition(16).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "cat")
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out, "s1", cfg=cfg
+    )
+    q.awaitTermination(300)
+    cat = Catalog(out, "s1")
+    epochs = cat.committed_meta("epoch")["epochs"]
+    assert len(epochs) >= 2, epochs
+
+    # reconstruct the streamed candidate-pair set from committed blocks
+    # (incremental_candidate_pairs is deterministic given the epoch order)
+    spairs: set = set()
+    old = None
+    for e in epochs:
+        nb = cat.read(spark, f"blocks_epoch_{e}")
+        pe = ST.incremental_candidate_pairs(
+            nb, old, cfg.salt_cap, link_shards=cfg.link_shards
+        )
+        spairs |= {(r.id_a, r.id_b) for r in pe.select("id_a", "id_b").collect()}
+        old = nb if old is None else old.unionByName(nb)
+
+    brecords = P.build_records(pages, cfg).persist()
+    bpairs = P.build_candidate_pairs(brecords, cfg)
+    bp = {(r.id_a, r.id_b) for r in bpairs.select("id_a", "id_b").collect()}
+
+    blocks = B.lsh_blocks(
+        brecords, "shingles", k=cfg.minhash_k, bands=cfg.bands
+    ).persist()
+    hot = B.hot_keys(blocks, cfg.salt_cap)
+    H = {
+        r.record_id
+        for r in blocks.join(hot, "block_key", "left_semi")
+        .select("record_id")
+        .distinct()
+        .collect()
+    }
+    assert H, "scenario must exercise salting (no hot keys -> vacuous fence)"
+
+    # pair fence: both endpoints of every disagreed pair are hot members
+    sym = (spairs - bp) | (bp - spairs)
+    outside = [p for p in sym if p[0] not in H or p[1] not in H]
+    assert not outside, outside[:10]
+
+    # cluster fence: divergent assignments only in clusters touching H
+    from nlp_entity_linking_spark.functions import similarity as S
+
+    feats = P.build_features(brecords, bpairs, cfg)
+    edges = (
+        S.score_pairs(feats, cfg.model)
+        .filter(F.col("score") >= cfg.score_threshold)
+        .select("id_a", "id_b")
+    )
+    bm = {
+        r.record_id: r.cluster_id
+        for r in P.cluster(brecords, edges, cfg).collect()
+    }
+    sm = {
+        r.record_id: r.cluster_id
+        for r in cat.read(spark, "clusters").collect()
+    }
+    from collections import defaultdict
+
+    def members(m):
+        d = defaultdict(set)
+        for rid, cid in m.items():
+            d[cid].add(rid)
+        return {rid: frozenset(d[cid]) for rid, cid in m.items()}
+
+    bmem, smem = members(bm), members(sm)
+    divergent = [r for r in bm if bmem[r] != smem[r]]
+    unfenced = [r for r in divergent if not ((bmem[r] | smem[r]) & H)]
+    assert not unfenced, unfenced[:10]
