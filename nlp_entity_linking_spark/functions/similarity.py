@@ -234,31 +234,46 @@ def fit_calibration(
     labeled_features: pd.DataFrame,
     iters: int = 25,
     ridge: float = 1e-4,
+    features: tuple[str, ...] = FEATURES,
 ) -> tuple[ScoreModel, float]:
     """Platt-style logistic regression on (jw, tsl, cos, is_match) by
     Newton/IRLS — deterministic (zero init, fixed iterations, tiny ridge for
     conditioning). Driver-side numpy: the labeled sample is small by
     construction; fitted coefficients ship to executors as literals.
 
+    features: the subset to fit (ablation / feature-drop refits — e.g.
+    ("tsl", "cos") when the full fit assigns jw a non-positive weight);
+    absent features get weight EXACTLY 0.0, which downstream scoring
+    recognizes as "this feature cannot change any score" (score_edges
+    skips the Arrow jw pass entirely when weights[0] == 0.0).
+
     Returns (model, threshold) where threshold maximizes pairwise F1 on the
     labeled sample (the calibrated decision point the north rule's
     "calibrated logistic match score" thresholds on).
     """
-    x = labeled_features[list(FEATURES)].to_numpy(dtype=np.float64)
+    feats = list(features)
+    x = labeled_features[feats].to_numpy(dtype=np.float64)
     y = labeled_features["is_match"].to_numpy(dtype=np.float64)
     n = len(y)
+    d = len(feats)
     if n == 0:
         return ScoreModel(), 0.5
     xb = np.hstack([x, np.ones((n, 1))])
-    w = np.zeros(4)
+    w = np.zeros(d + 1)
     for _ in range(iters):
         z = xb @ w
         p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
         g = xb.T @ (p - y) / n + ridge * w
         r = np.maximum(p * (1 - p), 1e-9)
-        h = (xb * r[:, None]).T @ xb / n + ridge * np.eye(4)
+        h = (xb * r[:, None]).T @ xb / n + ridge * np.eye(d + 1)
         w -= np.linalg.solve(h, g)
-    model = ScoreModel(tuple(float(v) for v in w[:3]), float(w[3]), "fitted-v1")
+    full = dict(zip(feats, (float(v) for v in w[:d])))
+    version = "fitted-v1" if feats == list(FEATURES) else (
+        "fitted-" + "+".join(feats) + "-v1"
+    )
+    model = ScoreModel(
+        tuple(full.get(f, 0.0) for f in FEATURES), float(w[d]), version
+    )
     # threshold sweep: maximize F1 over the labeled scores
     z = xb @ w
     p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
@@ -290,6 +305,11 @@ def score_pairs(
     sigmoid — a single Arrow round-trip; batch size bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
 
+    Fast path: when model.weights[0] == 0.0 (fit_calibration's marker for
+    "jw dropped from the model") the pass never leaves the JVM — score is a
+    codegen sigmoid over tsl/cos and `jw` comes back NULL (never computed).
+    Same output schema, zero Python surface.
+
     Any incoming `jw`/`score` column is DROPPED and recomputed: both names
     are this pass's outputs, so keeping them would duplicate field names at
     analysis (the legitimate case — re-scoring previously scored pairs
@@ -316,6 +336,23 @@ def score_pairs(
     stale = [c for c in ("jw", "score") if c in pairs.columns]
     if stale:
         pairs = pairs.drop(*stale)
+    if model.weights[0] == 0.0:
+        # jw weight EXACTLY 0.0 (the fit_calibration feature-drop marker, or
+        # a hand-zeroed model): Jaro-Winkler cannot move any score, so the
+        # whole pass stays JVM-side — no Arrow crossing, no Python workers,
+        # no repartition for a worker pool, codegen sigmoid over the
+        # existing tsl/cos columns. The engine's single most expensive
+        # per-pair cost disappears whenever calibration proves jw carries no
+        # signal (see the jw-ablation note in README). `jw` is emitted as
+        # NULL, not a fake number: it was never computed, and downstream
+        # must not mistake it for a similarity of 0.
+        _, w2z, w3z = model.weights
+        z0 = F.lit(w2z) * F.col("tsl") + F.lit(w3z) * F.col("cos") + F.lit(
+            model.bias
+        )
+        return pairs.withColumn("jw", F.lit(None).cast("double")).withColumn(
+            "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z0))
+        )
     spark = pairs.sparkSession
     if n_partitions is None:
         n_partitions = 2 * spark.sparkContext.defaultParallelism
@@ -384,12 +421,17 @@ def may_reach_threshold(model: ScoreModel, threshold: float) -> Column:
 
 def logistic_expr(model: ScoreModel) -> Column:
     """Pure-JVM sigmoid over existing jw/tsl/cos columns — used when jw was
-    already materialized (e.g. re-scoring with new calibration)."""
+    already materialized (e.g. re-scoring with new calibration).
+
+    A w1==0 model (jw dropped by calibration) never references the jw
+    column at all: score_pairs's fast path emits jw as NULL for such
+    models, and SQL's 0 * NULL = NULL would otherwise null the score."""
     w1, w2, w3 = model.weights
     z = (
-        F.lit(w1) * F.col("jw")
-        + F.lit(w2) * F.col("tsl")
+        F.lit(w2) * F.col("tsl")
         + F.lit(w3) * F.col("cos")
         + F.lit(model.bias)
     )
+    if w1 != 0.0:
+        z = F.lit(w1) * F.col("jw") + z
     return 1.0 / (1.0 + F.exp(-z))

@@ -80,18 +80,31 @@ def minhash_signatures_df(
 def band_keys(sig_col, bands: int = DEFAULT_BANDS, k: int = DEFAULT_K):
     """LSH banding: array of `bands` compact 8-byte block keys.
 
-    Key = xxhash64('mh', band, signature slice) — a LONG, not a string:
-    block keys are the biggest shuffle keys in the pipeline, and 8-byte
-    hash keys shuffle + compare cheaper than formatted strings (measured on
-    the TF-IDF exchanges first, then here; see README). The family tag
-    'mh' is folded into the hash so different blockers can't collide by
-    construction of their inputs.
+    Key = xxhash64('mh', band, r signature elements) — a LONG, not a
+    string: block keys are the biggest shuffle keys in the pipeline, and
+    8-byte hash keys shuffle + compare cheaper than formatted strings
+    (measured on the TF-IDF exchanges first, then here; see README). The
+    family tag 'mh' is folded into the hash so different blockers can't
+    collide by construction of their inputs.
+
+    Encoding contract: the band's r signature elements are hashed as r
+    SEPARATE long arguments — NOT as one array<long> slice (xxhash64
+    encodes the two differently) — precisely so these keys are
+    interchangeable with `lsh_blocks`'s, which hashes its r per-band min
+    columns directly. A corpus blocked by one API and probed via the other
+    collides correctly (test_blocking.py::test_band_keys_match_lsh_blocks).
     """
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     r = k // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.lit("mh"), b, F.slice(sig, b * r + 1, r)),
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit("mh"),
+                F.lit(b),
+                *[F.element_at(sig, b * r + j + 1) for j in range(r)],
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -110,6 +123,11 @@ def lsh_blocks(
     columns directly via multi-arg xxhash64 into an 8-byte LONG key (family
     tag + band index folded into the hash) — compact shuffle keys for the
     pipeline's largest exchanges.
+
+    Key encoding is BYTE-IDENTICAL to `band_keys` over
+    `minhash_signatures_df` signatures (both hash r separate long args) —
+    blocks built by either API collide with probes built by the other
+    (test_blocking.py::test_band_keys_match_lsh_blocks).
     """
     r = k // bands
     ex = records.select("record_id", F.explode(shingles_col).alias("_sh"))

@@ -51,6 +51,16 @@ class PipelineConfig:
     link_shards: bool = True
     model: S.ScoreModel = field(default_factory=S.ScoreModel)
     max_cc_iter: int = 25
+    # when the full IRLS fit assigns Jaro-Winkler a NON-POSITIVE weight
+    # (measured at sf0.1: w = (-0.957, 3.566, 17.204) — jw is
+    # anti-predictive after tsl/cos on this corpus), refit on (tsl, cos)
+    # alone. The refit pins jw's weight to EXACTLY 0.0, which score_pairs
+    # recognizes and skips the Arrow/Python pass entirely — scoring goes
+    # full-JVM. A w1 <= 0 model buys nothing (the cheap-reject gate already
+    # ignores negative w1 via max(w1, 0)), so the only cost is refitting on
+    # the same driver-side sample; the F1 gate holds both ways
+    # (tests/test_pipeline.py::test_calibrate_drops_nonpositive_jw).
+    drop_nonpositive_jw: bool = True
 
 
 def build_records(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -162,6 +172,7 @@ def calibrate(
     labeled_pairs: DataFrame,
     cfg: PipelineConfig,
     sample_cap: int = CALIBRATION_SAMPLE_CAP,
+    fit_features: tuple[str, ...] | None = None,
 ) -> "PipelineConfig":
     """Platt-style calibration (SURVEY.md I6): score a bounded labeled
     sample once with the default model to materialize jw, fit logistic
@@ -170,16 +181,37 @@ def calibrate(
     The toPandas() is bounded by `sample_cap` via a deterministic
     xxhash-residue filter — calibration quality saturates long before 10^6
     pairs, and an unbounded collect is a driver OOM at real labeled-set
-    sizes."""
+    sizes.
+
+    fit_features: force a specific feature subset (ablation studies, or
+    pinning a jw-free model without relying on the drop_nonpositive_jw
+    auto-refit). None = fit all of S.FEATURES, then auto-refit per
+    cfg.drop_nonpositive_jw."""
     import dataclasses
 
     lf = features.join(
         labeled_pairs.select("id_a", "id_b", "is_match"), ["id_a", "id_b"]
     )
     lf = bounded_labeled_sample(lf, sample_cap)
-    scored = S.score_pairs(lf, cfg.model)
+    # the scoring model here exists only to MATERIALIZE jw for the fit (the
+    # score column is unused); a w1==0 incoming model would take the JVM
+    # fast path and return jw=NULL, so substitute one that computes it —
+    # calibration must always be able to re-measure jw's predictive value
+    # on a new corpus, even when the previous fit dropped it.
+    mat_model = cfg.model if cfg.model.weights[0] != 0.0 else S.ScoreModel()
+    scored = S.score_pairs(lf, mat_model)
     sample = scored.select("jw", "tsl", "cos", "is_match").toPandas()
-    model, threshold = S.fit_calibration(sample)
+    if fit_features is not None:
+        model, threshold = S.fit_calibration(sample, features=fit_features)
+    else:
+        model, threshold = S.fit_calibration(sample)
+        if cfg.drop_nonpositive_jw and model.weights[0] <= 0.0:
+            # jw came out anti-predictive on this corpus: refit without it
+            # so scoring can stay JVM-side (score_pairs w1==0 fast path).
+            # Same sample, same IRLS — one extra driver-side solve.
+            model, threshold = S.fit_calibration(
+                sample, features=("tsl", "cos")
+            )
     return dataclasses.replace(cfg, model=model, score_threshold=threshold)
 
 

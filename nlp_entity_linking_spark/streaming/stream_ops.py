@@ -173,7 +173,16 @@ def stateful_running_totals(events: DataFrame, key_col: str = "user_id") -> Data
 def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame | None:
     """Union of the committed per-epoch tables for one logical state table
     (records/blocks/edges). Plan width grows with len(epochs) — compact()
-    folds the epoch list back to one table."""
+    folds the epoch list back to one table.
+
+    Schema-version guard: block_key changed type string -> long when every
+    blocker moved to 8-byte hash keys. Resuming over state committed by the
+    old version must fail LOUDLY here — left alone, the new-vs-old blocks
+    join would either throw a cryptic AnalysisException or (under an
+    implicit cast) silently produce zero hot-key matches, i.e. lost
+    candidate pairs with no error."""
+    from pyspark.sql.types import LongType
+
     dfs = [
         cat.read(spark, f"{name}_epoch_{e}")
         for e in epochs
@@ -184,6 +193,18 @@ def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame 
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if "block_key" in out.columns:
+        dt = out.schema["block_key"].dataType
+        if not isinstance(dt, LongType):
+            raise TypeError(
+                f"committed '{name}' state has block_key of type "
+                f"{dt.simpleString()}, but this version keys blocks by LONG "
+                "(8-byte xxhash64). This state was written by an older "
+                "version — rebuild it (re-run the stream from the source "
+                "corpus) or recompact with the writing version before "
+                "resuming; a mixed-version resume would silently drop "
+                "new-vs-old candidate pairs."
+            )
     return out
 
 

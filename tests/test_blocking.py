@@ -30,6 +30,32 @@ def test_minhash_deterministic_and_similarity_monotone(spark):
     assert sim_close > 0.4
 
 
+def test_band_keys_match_lsh_blocks(spark):
+    """The two LSH key APIs must emit BYTE-IDENTICAL keys on the same
+    records: a corpus blocked by lsh_blocks and a probe keyed via
+    minhash_signatures_df + band_keys (or vice versa) must collide. Guards
+    the xxhash64 encoding contract — hashing an array<long> slice vs r
+    separate long args produces different hashes, which would silently
+    yield zero cross-API candidate pairs."""
+    r = _records(
+        spark,
+        ["acme corporation", "acme corp", "jane doe llc", "zzz other thing"],
+    )
+    via_blocks = {
+        (x.record_id, x.block_key)
+        for x in B.lsh_blocks(r, k=16, bands=4).collect()
+    }
+    sigs = B.minhash_signatures_df(r, k=16)
+    via_band_keys = {
+        (x.record_id, k)
+        for x in sigs.select(
+            "record_id", B.band_keys("sig", bands=4, k=16).alias("keys")
+        ).collect()
+        for k in x.keys
+    }
+    assert via_blocks == via_band_keys and via_blocks
+
+
 def test_lsh_blocks_recall_on_duplicates(spark):
     r = _records(spark, ["jane doe consulting", "jane doe consulting!", "jane d0e consulting", "completely different org"])
     # permissive banding (16x4, s-curve ~0.55) so the 1-char-typo pair is

@@ -47,6 +47,20 @@ def test_end_to_end_f1(spark):
     clusters = P.cluster(records, edges, cfg).persist()
     assert clusters.count() == records.count()
     assert clusters.groupBy("record_id").count().filter("count > 1").count() == 0
+    # jw-ablation operating point: a tsl+cos-only calibration must hold the
+    # F1 gate too, while scoring stays fully JVM-side (the sf0.1 fit
+    # measured w1 < 0, making this the production-relevant path).
+    cfg2 = P.calibrate(
+        features, labeled, P.PipelineConfig(), fit_features=("tsl", "cos")
+    )
+    assert cfg2.model.weights[0] == 0.0
+    scored2 = S.score_pairs(features, cfg2.model).persist()
+    assert "MapInPandas" not in (
+        scored2._jdf.queryExecution().executedPlan().toString()
+    )
+    scored2.count()
+    _, m2 = P.select_threshold(scored2, records, labeled, cfg2)
+    assert m2["f1"] >= 0.99, m2
 
 
 def test_phonetic_blocker_recall(spark):
@@ -178,6 +192,54 @@ def test_calibration_sample_is_bounded(spark):
     # under-cap inputs pass through untouched
     small = big.limit(10)
     assert P.bounded_labeled_sample(small, cap).count() == 10
+
+
+def test_calibrate_drops_nonpositive_jw(spark):
+    """On a corpus where jw is ANTI-predictive (matches have dissimilar
+    surfaces, non-matches near-identical ones), the full fit must measure
+    w1 < 0, and the default drop_nonpositive_jw knob must refit without jw
+    — pinning w1 to exactly 0.0 so scoring takes the JVM fast path — while
+    still classifying the sample correctly."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        # match: unlike surfaces (low jw) but strong token/context overlap
+        rows.append(
+            (2 * i, 2 * i + 1, f"alpha{i} beta", "zzz qqq",
+             0.7 + 0.3 * rng.random(), 0.6 + 0.4 * rng.random(), True)
+        )
+        # non-match: near-identical surfaces (high jw), weak tsl/cos
+        rows.append(
+            (10_000 + 2 * i, 10_000 + 2 * i + 1,
+             f"acme corporation {i}", f"acme corporatino {i}",
+             0.3 * rng.random(), 0.3 * rng.random(), False)
+        )
+    feats = spark.createDataFrame(
+        [(a, b, na, nb, t, c) for a, b, na, nb, t, c, _ in rows],
+        "id_a long, id_b long, norm_a string, norm_b string, "
+        "tsl double, cos double",
+    )
+    labeled = spark.createDataFrame(
+        [(a, b, m) for a, b, _, _, _, _, m in rows],
+        "id_a long, id_b long, is_match boolean",
+    )
+    keep = P.calibrate(
+        feats, labeled, P.PipelineConfig(drop_nonpositive_jw=False)
+    )
+    assert keep.model.weights[0] < 0.0, keep.model  # jw measured harmful
+    dropped = P.calibrate(feats, labeled, P.PipelineConfig())
+    assert dropped.model.weights[0] == 0.0
+    assert dropped.model.version == "fitted-tsl+cos-v1"
+    scored = S.score_pairs(feats, dropped.model)
+    assert "MapInPandas" not in (
+        scored._jdf.queryExecution().executedPlan().toString()
+    )
+    verdicts = scored.join(labeled, ["id_a", "id_b"]).select(
+        "is_match", (F.col("score") >= dropped.score_threshold).alias("pred")
+    ).collect()
+    assert all(r.pred == r.is_match for r in verdicts)
 
 
 def test_score_edges_gate_byte_equal(spark):

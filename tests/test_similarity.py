@@ -106,6 +106,76 @@ def test_fit_calibration_separates():
     assert p[0] > thr > p[1]
 
 
+def test_fit_calibration_feature_subset():
+    """Ablation fits: dropping a feature pins its weight to EXACTLY 0.0
+    (the score_pairs fast-path marker) and tags the model version; the
+    reduced model still separates the planted bands."""
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "jw": rng.uniform(0.85, 1.0, n),
+                    "tsl": rng.uniform(0.7, 1.0, n),
+                    "cos": rng.uniform(0.5, 1.0, n),
+                    "is_match": True,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "jw": rng.uniform(0.2, 0.8, n),
+                    "tsl": rng.uniform(0.0, 0.5, n),
+                    "cos": rng.uniform(0.0, 0.4, n),
+                    "is_match": False,
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    model, thr = S.fit_calibration(df, features=("tsl", "cos"))
+    assert model.weights[0] == 0.0
+    assert model.version == "fitted-tsl+cos-v1"
+    z = np.array([0.9, 0.8]) @ np.array(model.weights[1:]) + model.bias
+    zl = np.array([0.2, 0.1]) @ np.array(model.weights[1:]) + model.bias
+    assert 1 / (1 + np.exp(-z)) > thr > 1 / (1 + np.exp(-zl))
+
+
+def test_score_pairs_jvm_fast_path(spark):
+    """A w1==0 model must never cross into Python: no MapInPandas in the
+    physical plan, jw comes back NULL, and the score is the JVM sigmoid of
+    (w2*tsl + w3*cos + b). A w1!=0 model (positive control) does plan the
+    Arrow pass."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 2, "acme corp", "acme corp", 1.0, 0.9),
+         (3, 4, "acme corp", "zzz inc", 0.1, 0.0)],
+        "id_a long, id_b long, norm_a string, norm_b string, tsl double, cos double",
+    )
+    model = S.ScoreModel(weights=(0.0, 4.7, 15.7), bias=-11.0, version="jvm")
+    out = S.score_pairs(df, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    got = out.orderBy("id_a").collect()
+    assert [r.jw for r in got] == [None, None]
+    for r in got:
+        expect = 1.0 / (1.0 + math.exp(-(4.7 * r.tsl + 15.7 * r.cos - 11.0)))
+        assert abs(r.score - expect) < 1e-12
+    # logistic_expr on the fast-path output must not null out on jw
+    rescored = out.withColumn("s2", S.logistic_expr(model)).collect()
+    for r in rescored:
+        assert r.s2 is not None and abs(r.s2 - r.score) < 1e-12
+    # positive control: nonzero w1 still plans the Arrow pass
+    arrow_plan = (
+        S.score_pairs(df, S.ScoreModel())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in arrow_plan
+
+
 def test_score_pairs_fused(spark):
     df = spark.createDataFrame(
         [(1, 2, "acme corp", "acme corp", 1.0, 0.9),

@@ -277,7 +277,25 @@ def test_read_er_records_empty_run_raises(spark, tmp_path):
         ST.read_er_records(spark, str(tmp_path / "cat"), "never_ran")
 
 
-def test_incremental_hot_key_salting(spark):
+def test_read_state_rejects_old_string_block_keys(spark, tmp_path):
+    """Resume-over-old-state guard: blocks state committed by the pre-long
+    key version (string block_key) must fail loudly at read time, not
+    degrade into a silently-empty new-vs-old join."""
+    import pytest
+
+    cat = Catalog(str(tmp_path / "cat"), "old_state")
+    old = spark.createDataFrame(
+        [(1, "band=0|sig=abc")], "record_id long, block_key string"
+    )
+    cat.write(old, "blocks_epoch_0")
+    with pytest.raises(TypeError, match="block_key.*string.*LONG"):
+        ST._read_state(spark, cat, "blocks", [0])
+    # current-version long keys pass through untouched
+    new = spark.createDataFrame(
+        [(1, 12345)], "record_id long, block_key long"
+    )
+    cat.write(new, "blocks_epoch_1")
+    assert ST._read_state(spark, cat, "blocks", [1]).count() == 1
     """new x old expansion on a HOT committed key is salted into
     within-shard joins, not dropped: every new record meets the old rows in
     its shard (bounded ~cap per key), so cross-wave recall on template-heavy

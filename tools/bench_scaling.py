@@ -93,7 +93,11 @@ so min-wall is the capacity statistic, applied symmetrically to both
 levels. Per-level best throughputs observed:
 N {[key(r) for r in lo_runs]} / 4N {[key(r) for r in hi_runs]}.
 
-| level | master | pairs/sec | score wall (s) | CC wall (s) | e2e wall (s) |
+Column semantics: "best score wall" is the MIN across all runs of all
+JVMs at that level (the capacity statistic matching pairs/sec); "CC wall"
+and "e2e wall" are single-run values from the max-throughput JVM.
+
+| level | master | pairs/sec | best score wall (s) | CC wall (s) | e2e wall (s) |
 |---|---|---|---|---|---|
 | N | local[{args.low}] | {key(lo):,} | {lo.get('best_wall_sec', lo['score_wall_sec'])} | {lo['cluster_wall_sec']} | {lo['total_wall_sec']} |
 | 4N | local[{args.high}] | {key(hi):,} | {hi.get('best_wall_sec', hi['score_wall_sec'])} | {hi['cluster_wall_sec']} | {hi['total_wall_sec']} |
