@@ -63,10 +63,45 @@ def _ckpt_uv(df: DataFrame) -> DataFrame:
     the checkpointed edges came from a multi-branch merge_pairs plan whose
     branches share one cached subtree (e.g. lsh pairs + cross-shard rep
     pairs over the same persisted blocks). The projection is fused into the
-    next stage's codegen — no extra pass."""
-    return df.localCheckpoint(eager=True).select(
-        F.col("u").alias("u"), F.col("v").alias("v")
-    )
+    next stage's codegen — no extra pass.
+
+    Returns (df, rdd_id): the id of the checkpoint's backing LogicalRDD —
+    captured from the BARE checkpointed frame, before the select wraps the
+    plan in a Project — so the loop can later release its storage blocks
+    (see _release_ckpt_blocks). rdd_id is None if the plan shape drifts."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        rdd_id = ck._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        rdd_id = None
+    return ck.select(F.col("u").alias("u"), F.col("v").alias("v")), rdd_id
+
+
+def _release_ckpt_blocks(df: DataFrame, rdd_id: int | None) -> None:
+    """Free a SUPERSEDED iteration's localCheckpoint storage blocks now,
+    instead of waiting for driver GC + ContextCleaner.
+
+    Why this exists: each iteration's eager checkpoint holds the full edge
+    set as storage blocks (~6-10 GiB per iteration at 10^8 edges), and the
+    lazy reclamation path (Python ref drop -> py4j detach -> JVM GC ->
+    ContextCleaner unpersist) measurably never keeps up with a hot loop —
+    the first 10^8-edge certification run accumulated ~13 iterations of
+    blocks and was kernel-OOM-killed at 103 GiB RSS with a 96 GiB heap.
+    An explicit unpersist of the previous iteration bounds live checkpoint
+    storage to <= 2 iterations regardless of graph size; on a real cluster
+    the same leak would instead evict the executor block caches and other
+    jobs' persists. Best-effort by design: on any API drift this degrades
+    to the old (leaky-but-correct) behavior, never to a wrong answer, and
+    it must only ever run on a checkpoint whose successor is already
+    eagerly materialized (a released checkpoint is NOT recomputable)."""
+    if rdd_id is None:
+        return
+    try:
+        jrdd = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -97,20 +132,27 @@ def connected_components(
         return (row["n"], row["h"])
 
     cur = _canon(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
+    cur_id = None
     if checkpoint:
-        cur = _ckpt_uv(cur)
+        cur, cur_id = _ckpt_uv(cur)
     cur_stats = _stats(cur)
     for i in range(max_iter):
         nxt = _canon(_small_star(_large_star(cur)))
+        nxt_id = None
         if checkpoint:
-            nxt = _ckpt_uv(nxt)
+            nxt, nxt_id = _ckpt_uv(nxt)  # eager: fully materialized here
         if on_iteration is not None:
             nxt = on_iteration(i, nxt) or nxt
         nxt_stats = _stats(nxt)  # single job per iteration
+        if checkpoint:
+            # nxt no longer depends on cur -> free cur's storage blocks
+            # (bounds live checkpoint storage to 2 iterations; see
+            # _release_ckpt_blocks for the 10^8-edge OOM this prevents)
+            _release_ckpt_blocks(nxt, cur_id)
         if nxt_stats == cur_stats:
             cur = nxt
             break
-        cur, cur_stats = nxt, nxt_stats
+        cur, cur_stats, cur_id = nxt, nxt_stats, nxt_id
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} iters")
     # converged state is a collection of stars; in canonical (min, max) form
