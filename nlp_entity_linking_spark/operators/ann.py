@@ -462,6 +462,44 @@ def ivf_training_sample(
     ).select(vec_col)
 
 
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int | None = None,
+):
+    """Train the IVF coarse quantizer once; returns the L2-normalized
+    centroid matrix (n_cells x dim, numpy float64).
+
+    Split out of ivf_topk because the two costs live on different axes:
+    training is a FIXED cost (bounded sample, independent of corpus size —
+    see ivf_training_sample) paid once per index, while assignment+probe
+    scale with the corpus and recur per query batch. A production index
+    trains here, persists the (tiny) centroid matrix, and serves every
+    subsequent ivf_topk(..., centers=...) without refitting — exactly how
+    FAISS separates train() from add()/search()."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _norm_expr(c):
+        n = F.greatest(F.sqrt(dot(c, c)), F.lit(1e-12))
+        return F.transform(c, lambda x: x.cast("double") / n)
+
+    sample = ivf_training_sample(corpus, vec_col, id_col, n_cells, train_cap)
+    train = sample.select(
+        array_to_vector(_norm_expr(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    return centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -474,6 +512,7 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 10,
     train_cap: int | None = None,
+    centers=None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the coarse-quantizer inverted-list
     design, Jegou et al. '11 — public knowledge): a seeded pyspark.ml
@@ -491,27 +530,22 @@ def ivf_topk(
     The quantizer trains on a BOUNDED deterministic sample (see
     ivf_training_sample; cap = train_cap or max(256 x n_cells, 4096)) —
     centroid quality saturates long before full-corpus scale, and the fit
-    is the only stage whose cost would otherwise grow with corpus size."""
+    is the only stage whose cost would otherwise grow with corpus size.
+    Pass `centers` (from ivf_train) to reuse an already-trained quantizer
+    across query batches; training here is a convenience for one-shot use."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    # spherical-ish k-means: normalize so L2 centroids track cosine cells
-    # (zero-norm guard mirrors the UDF side: an all-zero embedding must not
-    # inject NaN features into the fit)
-    def _norm_expr(c):
-        n = F.greatest(F.sqrt(dot(c, c)), F.lit(1e-12))
-        return F.transform(c, lambda x: x.cast("double") / n)
-
-    sample = ivf_training_sample(corpus, vec_col, id_col, n_cells, train_cap)
-    train = sample.select(
-        array_to_vector(_norm_expr(F.col(vec_col))).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    centers = centers / np.maximum(
-        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
-    )
+    if centers is None:
+        centers = ivf_train(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            seed=seed,
+            max_iter=max_iter,
+            train_cap=train_cap,
+        )
+    centers = np.asarray(centers, dtype=np.float64)
 
     def cell_udf(top: int):
         @F.pandas_udf("array<int>")

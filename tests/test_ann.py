@@ -243,6 +243,32 @@ def test_ivf_topk_recall_unchanged_with_bounded_training(spark):
     assert len(exact_set & approx_set) / len(exact_set) >= 0.9
 
 
+def test_ivf_train_reuse_is_identical(spark):
+    """ivf_topk(centers=ivf_train(...)) must be bit-identical to the
+    one-shot path: the split exists so a production index trains the
+    quantizer once and serves many query batches, and that refactor must
+    not change a single result row."""
+    rng = np.random.RandomState(5)
+    centers = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.05 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    one_shot = ann.ivf_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=6, seed=7
+    ).collect()
+    trained = ann.ivf_train(corpus, n_cells=16, seed=7)
+    assert trained.shape == (16, 16)
+    reused = ann.ivf_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=6, seed=7, centers=trained
+    ).collect()
+    assert sorted(map(tuple, one_shot)) == sorted(map(tuple, reused))
+
+
 def test_quantized_ivf_cells_deterministic_and_partitioning(spark):
     """The integer IVF twin: one cell per vector at n_probe=1, the probe set
     at n_probe=3 is a superset containing the assignment, every cell id in

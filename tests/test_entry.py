@@ -25,10 +25,24 @@ def test_queries_and_oracles_align():
 
 
 def test_each_query_runs_smoke(spark):
-    for name, fn in E.queries().items():
-        df = fn(spark, SF)
-        assert df.columns, name
-        df.limit(1).collect()
+    """All 50 registry queries must build and execute. Queries are
+    independent, so they run on a driver-side thread pool — Spark job
+    submission is thread-safe and the scheduler interleaves the jobs —
+    which cuts this test from ~335s (sequential) to roughly the longest
+    few queries. Failures propagate with the query name attached."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def smoke(item):
+        name, fn = item
+        try:
+            df = fn(spark, SF)
+            assert df.columns, name
+            df.limit(1).collect()
+        except Exception as exc:  # re-raise with the query name
+            raise AssertionError(f"query {name!r} failed: {exc}") from exc
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(smoke, E.queries().items()))
 
 
 def test_retired_queries(spark):
