@@ -32,6 +32,7 @@ Usage: python tools/bench_ann_recall.py [n_vecs] [dim] [n_queries] [runs]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from collections.abc import Iterator
@@ -179,8 +180,15 @@ def main() -> None:
             "lsh_probe4": round(lsh4_wall, 1),
             "ivf": round(ivf_wall, 1),
         },
+        # one-time quantizer fit, amortized across every query batch the
+        # index ever serves — reported apart from the recurring probe wall
+        "ivf_train_sec": round(ivf_train_sec, 1),
     }
     print(json.dumps(result))
+    out = os.environ.get("ANN_BENCH_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(result, fh, indent=1)
     spark.stop()
 
 
