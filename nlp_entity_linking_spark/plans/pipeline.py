@@ -289,7 +289,9 @@ def select_threshold(
         clusters = CC.attach_singletons(labels, records)
         return E.f1_metrics(labeled_pairs, clusters)
 
-    with ThreadPoolExecutor(max_workers=len(candidates)) as pool:
+    # cap concurrent sweeps: each holds a full CC loop's jobs in flight,
+    # and a caller passing a dense grid must not swamp the scheduler
+    with ThreadPoolExecutor(max_workers=min(len(candidates), 8)) as pool:
         metrics = list(pool.map(evaluate, candidates))
     best = (0.5, {"f1": -1.0})
     for t, m in zip(candidates, metrics):
