@@ -462,6 +462,42 @@ def ivf_training_sample(
     ).select(vec_col)
 
 
+def _lloyd_fit(x, k: int, seed: int, max_iter: int):
+    """Seeded kmeans++ init + fixed-iteration Lloyd's over unit vectors
+    (spherical k-means: on the unit sphere argmin-Euclidean == argmax-dot,
+    so assignment is one GEMM against the centroid matrix). Deterministic:
+    seeded RNG, row order fixed by the caller, empty cells keep their
+    previous center, centers re-normalized every update. Returns
+    (k x dim) unit-norm float64 centers."""
+    import numpy as np
+
+    n = x.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    # kmeans++ over cosine distance (1 - dot on unit vectors)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[int(rng.integers(n))]
+    d2 = np.maximum(1.0 - x @ centers[0], 0.0)
+    for i in range(1, k):
+        total = float(d2.sum())
+        if total <= 0.0:
+            centers[i:] = centers[0]  # degenerate: all points identical
+            break
+        centers[i] = x[int(rng.choice(n, p=d2 / total))]
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ centers[i], 0.0))
+    for _ in range(max_iter):
+        assign = np.argmax(x @ centers.T, axis=1)
+        nxt = centers.copy()  # empty cell -> keep previous center
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        centers = nxt / np.maximum(
+            np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12
+        )
+    return centers
+
+
 def ivf_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -480,7 +516,47 @@ def ivf_train(
     scale with the corpus and recur per query batch. A production index
     trains here, persists the (tiny) centroid matrix, and serves every
     subsequent ivf_topk(..., centers=...) without refitting — exactly how
-    FAISS separates train() from add()/search()."""
+    FAISS separates train() from add()/search().
+
+    The fit itself is DRIVER-SIDE numpy Lloyd's (same determinism contract
+    as fit_calibration: bounded deterministic input, seeded init, fixed
+    iterations). The bounded sample (cap = max(256*n_cells, 4096) rows)
+    fits in driver RAM by construction — distributing a fit whose input is
+    a few hundred MB is pure scheduler/serialization overhead: the former
+    pyspark.ml.KMeans path took 445s on a 65k x 768 sample where this
+    GEMM loop takes seconds (BENCH/ann_recall_r5.json vs _r6). Collected
+    rows are sorted by id driver-side so the fit is independent of
+    partition layout; ivf_train_ml keeps the distributed path as a pytest
+    cross-check."""
+    import numpy as np
+
+    from ..functions.sampling import bounded_sample
+
+    cap = train_cap if train_cap is not None else max(256 * n_cells, 4096)
+    sample = bounded_sample(
+        corpus.select(id_col, vec_col), (id_col,), cap
+    ).toPandas()
+    sample = sample.sort_values(id_col, kind="mergesort")
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return _lloyd_fit(x, n_cells, seed, max_iter)
+
+
+def ivf_train_ml(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int | None = None,
+):
+    """Distributed (pyspark.ml.KMeans) quantizer fit — kept as a
+    cross-check for ivf_train's driver-side Lloyd's (pytest compares the
+    two on a separable fixture) and as the escape hatch for a train_cap
+    deliberately raised beyond driver RAM. Not the default: on the bounded
+    default sample it is ~2 orders of magnitude slower for the same
+    centroid quality."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -546,6 +622,13 @@ def ivf_topk(
             train_cap=train_cap,
         )
     centers = np.asarray(centers, dtype=np.float64)
+    # enforce the ivf_train contract on caller-supplied centers: cell
+    # assignment below compares against L2-NORMALIZED query/corpus vectors,
+    # so raw centroids would silently skew it. Idempotent for ivf_train
+    # output (already unit-norm).
+    centers = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
 
     def cell_udf(top: int):
         @F.pandas_udf("array<int>")

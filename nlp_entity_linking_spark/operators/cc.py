@@ -55,7 +55,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionByName(selfe)
 
 
-def _ckpt_uv(df: DataFrame) -> DataFrame:
+def _ckpt_uv(df: DataFrame) -> tuple[DataFrame, int | None]:
     """localCheckpoint + a fresh (u, v) projection. The re-alias mints new
     attribute ids, working around a Spark 4.1 optimizer failure
     (java.util.NoSuchElementException: key not found: u#N during
@@ -118,6 +118,13 @@ def connected_components(
     round-trip then truncates lineage, so pass checkpoint=False with it).
     Default checkpoint=True uses localCheckpoint: plan truncation without
     disk round-trips (durability comes from the catalog layer, not here).
+
+    Constraint with checkpoint=True: iteration i's checkpoint storage is
+    explicitly released once iteration i+1 materializes (see
+    _release_ckpt_blocks), and a released localCheckpoint is NOT
+    recomputable — so an on_iteration hook must not retain iteration-i
+    frames for use after the loop advances; a hook that needs per-iteration
+    state must copy it out (e.g. write to storage) before returning.
     """
     def _stats(df: DataFrame) -> tuple:
         # set identity summary: (row count, order-insensitive hash XOR —

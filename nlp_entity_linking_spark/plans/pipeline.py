@@ -281,6 +281,10 @@ def select_threshold(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    candidates = tuple(candidates)  # accept generators; len() below
+    if not candidates:
+        return (0.5, {"f1": -1.0})
+
     def evaluate(t: float) -> dict:
         edges = scored.filter(F.col("score") >= t).select(
             F.col("id_a").alias("u"), F.col("id_b").alias("v")

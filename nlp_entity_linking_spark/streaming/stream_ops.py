@@ -568,7 +568,7 @@ def incremental_er(
             # a crash mid-compaction leaves this batch's committed state
             # visible and the next trigger retries nothing.
             if compact_every and len(all_epochs) >= compact_every:
-                compact(spark, out_dir, run_id)
+                compact(spark, out_dir, run_id, cfg=cfg)
         finally:
             for df in cached:
                 df.unpersist()
@@ -585,7 +585,117 @@ def incremental_er(
     return q
 
 
-def compact(spark: SparkSession, out_dir: str, run_id: str) -> dict:
+def _converge_hot_key_edges(
+    spark: SparkSession,
+    records: DataFrame,
+    blocks: DataFrame,
+    edges: DataFrame,
+    cfg,
+) -> DataFrame:
+    """Reconcile streamed edges with BATCH hot-key semantics at compaction.
+
+    The one structural streamed-vs-batch divergence is hot-key sharding:
+    incremental_candidate_pairs salts by committed/batch-local block sizes
+    where batch salts by GLOBAL sizes, so the candidate sets disagree on
+    (and only on) pairs with both endpoints in globally-hot blocks — the
+    fence proven by test_incremental_vs_batch_divergence_fence. This
+    recomputes exactly that fenced region from the now-global block table:
+
+    * edges with an endpoint OUTSIDE every hot block came from a shared
+      non-hot key both paths generate identically — kept verbatim;
+    * suspect edges (both endpoints hot-block members) are kept only if
+      they share a NON-hot key (a batch candidate regardless of salting);
+    * the hot-derived candidate set is REBUILT with batch semantics
+      (apply_salt + cross-shard rep bridge over GLOBAL shard counts) and
+      scored fresh against the full-corpus features, replacing every
+      streaming-salted hot edge.
+
+    For pair-local score models the result is byte-equal to the batch edge
+    set (the fence test asserts zero post-compaction divergence). For
+    corpus-dependent features (TF-IDF cosine with nonzero weight) the hot
+    region is additionally re-scored at full-corpus IDF; non-hot edges keep
+    their admission-time scores — the documented bounded-staleness
+    tradeoff, eliminated entirely by compact(mode="rescore").
+
+    Work is O(hot blocks), not O(corpus pairs): hot keys are by definition
+    few (count > salt_cap each), and every expansion below is salt-bounded.
+    """
+    from ..functions import similarity as S
+    from ..operators import blocking as B
+    from ..plans import pipeline as P
+
+    hot = B.hot_keys(blocks, cfg.salt_cap).persist()
+    try:
+        if hot.limit(1).count() == 0:
+            return None  # no hot keys -> streamed edges already batch-equal
+        hot_members = blocks.join(F.broadcast(hot), "block_key", "left_semi")
+        h_ids = hot_members.select("record_id").distinct().persist()
+        parts = [B.pairs_from_blocks(B.apply_salt(hot_members, hot), dedup=False)]
+        if cfg.link_shards:
+            parts.append(B.cross_shard_rep_pairs(hot_members, hot))
+        hot_pairs = B.merge_pairs(*parts)
+
+        flagged = edges.join(
+            h_ids.select(F.col("record_id").alias("id_a"), F.lit(True).alias("_ha")),
+            "id_a",
+            "left",
+        ).join(
+            h_ids.select(F.col("record_id").alias("id_b"), F.lit(True).alias("_hb")),
+            "id_b",
+            "left",
+        )
+        is_suspect = F.col("_ha").isNotNull() & F.col("_hb").isNotNull()
+        keep_outside = flagged.filter(~is_suspect).select("id_a", "id_b")
+        suspects = flagged.filter(is_suspect).select("id_a", "id_b")
+        nonhot_blocks = blocks.join(F.broadcast(hot), "block_key", "left_anti")
+        keep_nonhot = (
+            suspects.join(
+                nonhot_blocks.select(
+                    F.col("record_id").alias("id_a"), "block_key"
+                ),
+                "id_a",
+            )
+            .join(
+                nonhot_blocks.select(
+                    F.col("record_id").alias("id_b"), "block_key"
+                ),
+                ["id_b", "block_key"],
+                "left_semi",
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cached: list[DataFrame] = []
+        feats = P.build_features(records, hot_pairs, cfg, cache_registry=cached)
+        fresh = (
+            S.score_pairs(
+                feats.filter(S.may_reach_threshold(cfg.model, cfg.score_threshold)),
+                cfg.model,
+            )
+            .filter(F.col("score") >= cfg.score_threshold)
+            .select("id_a", "id_b")
+        )
+        out = (
+            keep_outside.unionByName(keep_nonhot)
+            .unionByName(fresh)
+            .distinct()
+            .persist()
+        )
+        out.count()  # materialize before the TF-IDF weight cache is dropped
+        for df in cached:
+            df.unpersist()
+        return out
+    finally:
+        hot.unpersist()
+
+
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    cfg=None,
+    mode: str | None = None,
+) -> dict:
     """Fold every visible epoch of an incremental_er run into ONE
     records/blocks/edges table behind the same atomic epoch marker.
 
@@ -599,6 +709,22 @@ def compact(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     fully intact. Superseded epoch tables stay on disk for still-running
     readers; production GC removes them after a retention window.
 
+    mode (default "converge" when cfg is given, else "fold"):
+    * "fold"     — rewrite state tables only; clusters re-pointed (the
+                   pre-r6 behavior; the hot-key shard-size drift persists
+                   until the next converging compaction).
+    * "converge" — additionally reconcile the hot-key-fenced edge region
+                   with batch GLOBAL-shard-size semantics and recompute
+                   clusters (see _converge_hot_key_edges). Post-compaction
+                   clusters are byte-equal to the batch pipeline for
+                   pair-local score models; requires cfg.
+    * "rescore"  — periodic batch reconciliation: rebuild candidate pairs,
+                   features, edges, and clusters from the folded records
+                   with the full batch pipeline (fresh corpus-wide IDF).
+                   Byte-equal to batch for EVERY score model, including
+                   cfg.use_snb blockers streaming never runs; costs one
+                   batch run over the corpus — schedule accordingly.
+
     Run between triggers (the availableNow pattern: query finished or
     stopped) — process_batch snapshots the epoch list at batch start, so a
     concurrent flip mid-batch would be clobbered by that batch's commit.
@@ -608,25 +734,65 @@ def compact(spark: SparkSession, out_dir: str, run_id: str) -> dict:
 
     Returns {"epoch": c<n>, "n_epochs_folded": k}; no-op dict when there is
     nothing to fold."""
+    from ..operators import cc as CC
+    from ..plans import pipeline as P
     from ..sources.catalog import Catalog
+
+    if mode is None:
+        mode = "converge" if cfg is not None else "fold"
+    if mode not in ("fold", "converge", "rescore"):
+        raise ValueError(f"compact: unknown mode {mode!r}")
+    if mode != "fold" and cfg is None:
+        raise ValueError(f"compact(mode={mode!r}) needs the pipeline cfg")
 
     cat = Catalog(out_dir, run_id)
     meta = cat.committed_meta("epoch")
     if not meta or not meta["epochs"]:
         return {"epoch": None, "n_epochs_folded": 0}
     epochs = list(meta["epochs"])
-    if len(epochs) == 1:
+    if len(epochs) == 1 and mode == "fold":
         return {"epoch": epochs[0], "n_epochs_folded": 0}
     gen = int(meta.get("n_compactions", 0)) + 1
     cid = f"c{gen}"
+    state = {
+        name: _read_state(spark, cat, name, epochs)
+        for name in ("records", "blocks", "edges")
+    }
+    converged = None
+    if mode == "converge":
+        converged = _converge_hot_key_edges(
+            spark, state["records"], state["blocks"], state["edges"], cfg
+        )
+    elif mode == "rescore":
+        from ..functions import similarity as S
+
+        pairs = P.build_candidate_pairs(state["records"], cfg)
+        feats = P.build_features(state["records"], pairs, cfg)
+        converged = (
+            S.score_pairs(
+                feats.filter(S.may_reach_threshold(cfg.model, cfg.score_threshold)),
+                cfg.model,
+            )
+            .filter(F.col("score") >= cfg.score_threshold)
+            .select("id_a", "id_b")
+        )
+    if converged is not None:
+        state["edges"] = converged
     for name in ("records", "blocks", "edges"):
-        df = _read_state(spark, cat, name, epochs)
-        cat.write(df, f"{name}_epoch_{cid}")
-    # the last epoch's clusters are already the global labels — re-point,
-    # don't recompute
-    cat.write(
-        cat.read(spark, f"clusters_epoch_{epochs[-1]}"), f"clusters_epoch_{cid}"
-    )
+        cat.write(state[name], f"{name}_epoch_{cid}")
+    if converged is not None:
+        # recompute clusters from the reconciled edge table (read back:
+        # truncates the converge plan so the cached frames can drop)
+        clusters = P.cluster(
+            state["records"], cat.read(spark, f"edges_epoch_{cid}"), cfg
+        )
+        if hasattr(converged, "unpersist"):
+            converged.unpersist()
+    else:
+        # the last epoch's clusters are already the global labels —
+        # re-point, don't recompute
+        clusters = cat.read(spark, f"clusters_epoch_{epochs[-1]}")
+    cat.write(clusters, f"clusters_epoch_{cid}")
     cat.commit("epoch", {"epochs": [cid], "n_compactions": gen})
     cat.write_alias("clusters", f"clusters_epoch_{cid}")
     return {"epoch": cid, "n_epochs_folded": len(epochs)}

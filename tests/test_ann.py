@@ -269,6 +269,40 @@ def test_ivf_train_reuse_is_identical(spark):
     assert sorted(map(tuple, one_shot)) == sorted(map(tuple, reused))
 
 
+def test_ivf_train_deterministic_across_partitionings(spark):
+    """The driver-side Lloyd's fit must be a pure function of (corpus
+    contents, seed): the collected sample is sorted by id before the fit,
+    so partition layout cannot change a single centroid bit."""
+    corpus, _ = _corpus(spark, n=400, dim=16, seed=5)
+    a = ann.ivf_train(corpus, n_cells=8, seed=3)
+    b = ann.ivf_train(corpus.repartition(13), n_cells=8, seed=3)
+    assert a.shape == (8, 16)
+    assert (a == b).all()
+    # unit-norm contract
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_train_matches_ml_cross_check(spark):
+    """Cross-check the numpy Lloyd's quantizer against the distributed
+    pyspark.ml.KMeans path on a cleanly separable fixture: both must
+    recover the same 8 cluster directions (numpy centers and ML centers
+    match 1:1 under cosine, and both induce the same corpus cells)."""
+    rng = np.random.RandomState(17)
+    axes = rng.randn(8, 16)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    rows = []
+    for i in range(320):
+        v = axes[i % 8] + 0.02 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c_np = ann.ivf_train(corpus, n_cells=8, seed=7)
+    c_ml = ann.ivf_train_ml(corpus, n_cells=8, seed=7)
+    sims = c_np @ c_ml.T  # (8, 8) cosine, both unit-norm
+    match = sims.argmax(axis=1)
+    assert sorted(match.tolist()) == list(range(8))  # a permutation
+    assert (sims.max(axis=1) >= 0.999).all(), sims.max(axis=1)
+
+
 def test_quantized_ivf_cells_deterministic_and_partitioning(spark):
     """The integer IVF twin: one cell per vector at n_probe=1, the probe set
     at n_probe=3 is a superset containing the assignment, every cell id in

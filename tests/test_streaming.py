@@ -667,3 +667,86 @@ def test_incremental_vs_batch_divergence_fence(spark, tmp_path):
     divergent = [r for r in bm if bmem[r] != smem[r]]
     unfenced = [r for r in divergent if not ((bmem[r] | smem[r]) & H)]
     assert not unfenced, unfenced[:10]
+
+    # CONVERGENCE (r6): a converging compaction re-shards the committed hot
+    # keys from GLOBAL sizes and rescores the fenced region with batch
+    # semantics — the divergence the fence bounds must now be ZERO: the
+    # post-compaction edge table and cluster assignments are byte-equal to
+    # the batch pipeline (this fixture's score model is pair-local, the
+    # regime the converge contract covers exactly). Non-vacuity anchor is
+    # the PAIR-level symmetric difference (19 pairs at these settings) —
+    # cluster assignments can already agree transitively pre-compaction.
+    assert sym, "fixture must diverge pre-compaction (else vacuous)"
+    res = ST.compact(spark, out, "s1", cfg=cfg)
+    assert res["n_epochs_folded"] == len(epochs)
+    cedges = {
+        (r.id_a, r.id_b)
+        for r in cat.read(spark, f"edges_epoch_{res['epoch']}").collect()
+    }
+    bedges = {(r.id_a, r.id_b) for r in edges.collect()}
+    assert cedges == bedges, (
+        len(cedges - bedges),
+        len(bedges - cedges),
+    )
+    cm = {
+        r.record_id: r.cluster_id
+        for r in cat.read(spark, "clusters").collect()
+    }
+    assert cm == bm
+
+
+def test_compact_rescore_equals_batch_with_corpus_features(spark, tmp_path):
+    """compact(mode="rescore") is periodic batch reconciliation: even with a
+    CORPUS-DEPENDENT score model (nonzero TF-IDF cosine weight — the regime
+    where converge mode still leaves bounded-staleness scores on non-hot
+    edges), the recomputed edges and clusters are byte-equal to a batch run
+    over the same corpus."""
+    from nlp_entity_linking_spark.functions import similarity as S
+    from nlp_entity_linking_spark.functions.similarity import ScoreModel
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    cfg = P.PipelineConfig(
+        use_snb=False,
+        salt_cap=4,
+        model=ScoreModel(weights=(1.0, 5.0, 3.0), bias=-6.0),
+    )
+    pages, _ = gen_pages(spark, 300)
+    path = str(tmp_path / "pages_in")
+    pages.repartition(8).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "cat")
+    q = ST.incremental_er(
+        spark, ST.read_pages_stream(spark, path), out, "s1", cfg=cfg
+    )
+    q.awaitTermination(300)
+    cat = Catalog(out, "s1")
+
+    res = ST.compact(spark, out, "s1", cfg=cfg, mode="rescore")
+    assert res["epoch"] is not None
+
+    brecords = P.build_records(pages, cfg).persist()
+    bpairs = P.build_candidate_pairs(brecords, cfg)
+    feats = P.build_features(brecords, bpairs, cfg)
+    bedges_df = (
+        S.score_pairs(feats, cfg.model)
+        .filter(F.col("score") >= cfg.score_threshold)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    bedges = {(r.id_a, r.id_b) for r in bedges_df.collect()}
+    assert bedges, "fixture must produce edges (else vacuous)"
+    cedges = {
+        (r.id_a, r.id_b)
+        for r in cat.read(spark, f"edges_epoch_{res['epoch']}").collect()
+    }
+    assert cedges == bedges
+    bm = {
+        r.record_id: r.cluster_id
+        for r in P.cluster(brecords, bedges_df, cfg).collect()
+    }
+    cm = {
+        r.record_id: r.cluster_id
+        for r in cat.read(spark, "clusters").collect()
+    }
+    assert cm == bm
+    bedges_df.unpersist()
+    brecords.unpersist()
