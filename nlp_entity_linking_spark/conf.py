@@ -19,7 +19,15 @@ from pyspark.sql import SparkSession
 # driver memory).
 DEFAULT_CONF: dict[str, str] = {
     # local mode = single JVM: driver memory is the only heap knob that
-    # matters (container has 128 GiB). Must be set before JVM launch.
+    # matters (container has 128 GiB). Must be set before JVM launch —
+    # which means these two entries only take effect when the session is
+    # created FROM PYTHON (python main.py / pytest / bench.py: py4j
+    # launches the JVM after the builder runs). Under spark-submit the
+    # driver JVM is already up, both are silently ignored, and the job
+    # runs on the 1g default — pass `--driver-memory` (and
+    # `--conf spark.driver.extraJavaOptions=...`) on the spark-submit
+    # line for any input beyond toy scale (README launch form;
+    # tools/bench_e2e_scale.py does this).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "96g"),
     # pin the initial heap: growing a heap from the ~1g default under 32
     # allocating task threads causes GCLocker retry stalls in the Arrow

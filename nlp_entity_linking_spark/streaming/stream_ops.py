@@ -625,6 +625,7 @@ def _converge_hot_key_edges(
     from ..plans import pipeline as P
 
     hot = B.hot_keys(blocks, cfg.salt_cap).persist()
+    h_ids = None
     try:
         if hot.limit(1).count() == 0:
             return None  # no hot keys -> streamed edges already batch-equal
@@ -687,6 +688,8 @@ def _converge_hot_key_edges(
         return out
     finally:
         hot.unpersist()
+        if h_ids is not None:
+            h_ids.unpersist()
 
 
 def compact(
