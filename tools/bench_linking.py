@@ -9,8 +9,14 @@ measured. This tool records docs/s plus the per-stage anatomy:
 * mentions    — capitalized-run extraction over the corpus (staged to
                 parquet once; the timed stages read the staged tables so
                 each wall isolates ONE stage, same protocol as bench.py)
-* candidates  — alias-cap window + normalized-surface equi-join + integer
-                context-overlap scores (L.prepare_aliases + candidate_entities)
+* kb_prep     — alias-cap window + desc token-set precompute
+                (L.prepare_aliases). Separated out because it is a
+                ONE-TIME KB preparation, amortized over every corpus the
+                dictionary ever links — folding it into the candidates
+                wall (as the first cut of this tool did) misattributed
+                ~80% of the stage to a cost production pays once.
+* candidates  — normalized-surface equi-join + integer context-overlap
+                scores (L.candidate_entities) over the STAGED capped KB
 * local       — per-mention argmax (L.link_mentions) over staged candidates
 * collective  — one-entity-per-discourse vote + relabel (L.link_collective)
                 over the same staged candidates
@@ -98,8 +104,15 @@ def main() -> None:
     kb = spark.read.parquet(kb_path)
     n_aliases = kb.select("alias").distinct().count()
 
+    # ---- kb prep (one-time, amortized in production) ----------------------
+    n_capped, w_prep = timed(
+        lambda: L.prepare_aliases(kb, n_cand=16).count(), runs
+    )
+    capped_path = os.path.join(base, "capped")
+    L.prepare_aliases(kb, n_cand=16).write.mode("overwrite").parquet(capped_path)
+    capped = spark.read.parquet(capped_path)
+
     # ---- candidates -------------------------------------------------------
-    capped = L.prepare_aliases(kb, n_cand=16)
     n_cands, w_cand = timed(
         lambda: L.candidate_entities(mentions, capped).count(), runs
     )
@@ -131,6 +144,7 @@ def main() -> None:
         "n_aliases": n_aliases,
         "kb_fanout": fanout,
         "n_cand_cap": 16,
+        "n_capped_kb_rows": n_capped,
         "n_candidate_rows": n_cands,
         "n_linked_local": n_local,
         "n_linked_collective": n_coll,
@@ -138,6 +152,7 @@ def main() -> None:
         "master": "local[32]",
         "protocol": f"min-of-{runs} per stage, parquet-staged inputs",
         "stage_wall_sec": {
+            "kb_prep_one_time": round(w_prep, 2),
             "candidates": round(w_cand, 2),
             "local_argmax": round(w_local, 2),
             "collective": round(w_coll, 2),
