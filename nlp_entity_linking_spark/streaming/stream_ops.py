@@ -517,11 +517,32 @@ def incremental_er(
                 .select("id_a", "id_b")
             )
 
-            # append-only epoch tables: ONLY this batch's rows are written
-            cat.write(new_records, f"records_epoch_{epoch_id}")
-            cat.write(new_blocks, f"blocks_epoch_{epoch_id}")
-            cat.write(edges_new, f"edges_epoch_{epoch_id}")
-            n_pairs = pairs.count()
+            # append-only epoch tables: ONLY this batch's rows are written.
+            # The three writes + the pair count are independent actions over
+            # persisted parents (records/blocks/pairs), so they submit from
+            # a driver-side thread pool — serial submission leaves the
+            # cluster idle between each small job's tail, the same
+            # observation behind the threaded threshold sweep
+            # (plans/pipeline.py). Concurrent materialization of a shared
+            # persisted parent is safe: Spark's cache fills per-partition
+            # under a lock, the second consumer waits, nothing recomputes.
+            # The epoch marker commit stays strictly AFTER all four resolve
+            # (result() re-raises), preserving the single atomic commit
+            # point.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as tpool:
+                futs = [
+                    tpool.submit(
+                        cat.write, new_records, f"records_epoch_{epoch_id}"
+                    ),
+                    tpool.submit(
+                        cat.write, new_blocks, f"blocks_epoch_{epoch_id}"
+                    ),
+                    tpool.submit(cat.write, edges_new, f"edges_epoch_{epoch_id}"),
+                    tpool.submit(pairs.count),
+                ]
+                n_pairs = [f.result() for f in futs][-1]
 
             # INCREMENTAL clustering: CC runs only on the subgraph reachable
             # from this batch's edges (prior clusters re-enter as star

@@ -322,15 +322,24 @@ def test_read_state_rejects_old_string_block_keys(spark, tmp_path):
     assert len(hot_pairs) > 0
     n_shards = -(-100 // cap)  # ceil(old_size / cap) = 7
     assert len(hot_pairs) < 10 * 100 + 45
-    sh = lambda rid: next(
-        r.s for r in spark.createDataFrame([(rid,)], "record_id long")
-        .select(F.pmod(F.xxhash64("record_id", F.lit(42)), F.lit(n_shards)).alias("s"))
+    # shard ids for every endpoint in ONE job (the first cut ran a
+    # one-row Spark job per pair — 60s of scheduler overhead for a
+    # dictionary lookup)
+    ids = sorted({p.id_a for p in hot_pairs} | {p.id_b for p in hot_pairs})
+    sh_map = {
+        r.record_id: r.s
+        for r in spark.createDataFrame([(i,) for i in ids], "record_id long")
+        .select(
+            "record_id",
+            F.pmod(F.xxhash64("record_id", F.lit(42)), F.lit(n_shards)).alias("s"),
+        )
         .collect()
-    )
+    }
     for p in hot_pairs:
         if p.id_a >= 1000 or p.id_b < 1000:
             continue  # new-new pairs ride the batch-local salt instead
-        assert sh(p.id_a) == sh(p.id_b), p  # new x old only within a shard
+        # new x old only within a shard
+        assert sh_map[p.id_a] == sh_map[p.id_b], p
 
 
 def test_incremental_link_shards_bridge(spark):

@@ -16,6 +16,13 @@ production configuration. Residual divergence on hot keys comes from
 shard counts (committed/batch-local sizes vs batch's global sizes) and
 is quantified, not hidden, by the diff_fraction output.
 
+r6: after the wave comparison, runs ST.compact() (converge mode — the
+incremental_er auto-compaction default) and compares AGAIN: the converging
+compaction re-shards committed hot keys from GLOBAL block sizes and
+rescores exactly the fenced region against full-corpus features, so the
+post-compaction divergence is the measured-at-scale check of the r6
+zero-divergence claim (fence test proves it at fixture scale).
+
 Usage: python tools/bench_streaming_scale.py [seed_pages] [n_waves] [wave_pages]
 """
 
@@ -103,6 +110,17 @@ def main() -> None:
     # scale the two partitions can differ on hot-key members. Quantify it:
     # how many records sit in a differing assignment, not just a bool.
     diff_records = {r for r, _ in s_rows ^ b_rows}
+
+    # ---- converging compaction, then compare again (r6) ----
+    t2 = time.perf_counter()
+    info = ST.compact(spark, out, run_id, cfg=cfg)
+    compact_wall = round(time.perf_counter() - t2, 3)
+    s2_rows = {
+        (r.record_id, r.cluster_id)
+        for r in cat.read(spark, "clusters").collect()
+    }
+    diff_after = {r for r, _ in s2_rows ^ b_rows}
+
     # head/tail medians over thirds, clamped so n_waves < 3 still reports
     # (a 1-wave smoke run compares the wave against itself, ratio 1.0)
     if wave_walls:
@@ -125,6 +143,10 @@ def main() -> None:
                 "clusters_byte_equal_to_batch": s_rows == b_rows,
                 "n_records_in_differing_assignments": len(diff_records),
                 "diff_fraction": round(len(diff_records) / max(len(s_rows), 1), 6),
+                "compact_converge_wall_sec": compact_wall,
+                "compact_epochs_folded": info["n_epochs_folded"],
+                "post_compact_byte_equal_to_batch": s2_rows == b_rows,
+                "post_compact_n_differing": len(diff_after),
                 "n_records": len(s_rows),
                 "n_clusters": len({c for _, c in s_rows}),
                 "n_clusters_batch": len({c for _, c in b_rows}),
