@@ -121,6 +121,21 @@ def main() -> None:
     }
     diff_after = {r for r, _ in s2_rows ^ b_rows}
 
+    # ---- rescore compaction (batch reconciliation), compare once more ----
+    # converge mode's residual with corpus-dependent score models is the
+    # documented IDF staleness on non-hot edges kept verbatim; rescore
+    # rebuilds pairs/features/edges/clusters from the folded records with
+    # the full batch pipeline — byte-equal for EVERY model, at the cost of
+    # one batch run over the corpus.
+    t3 = time.perf_counter()
+    ST.compact(spark, out, run_id, cfg=cfg, mode="rescore")
+    rescore_wall = round(time.perf_counter() - t3, 3)
+    s3_rows = {
+        (r.record_id, r.cluster_id)
+        for r in cat.read(spark, "clusters").collect()
+    }
+    diff_rescore = {r for r, _ in s3_rows ^ b_rows}
+
     # head/tail medians over thirds, clamped so n_waves < 3 still reports
     # (a 1-wave smoke run compares the wave against itself, ratio 1.0)
     if wave_walls:
@@ -147,6 +162,9 @@ def main() -> None:
                 "compact_epochs_folded": info["n_epochs_folded"],
                 "post_compact_byte_equal_to_batch": s2_rows == b_rows,
                 "post_compact_n_differing": len(diff_after),
+                "rescore_wall_sec": rescore_wall,
+                "post_rescore_byte_equal_to_batch": s3_rows == b_rows,
+                "post_rescore_n_differing": len(diff_rescore),
                 "n_records": len(s_rows),
                 "n_clusters": len({c for _, c in s_rows}),
                 "n_clusters_batch": len({c for _, c in b_rows}),
