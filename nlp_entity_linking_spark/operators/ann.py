@@ -363,9 +363,16 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     n_probe: int = 1,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same random-hyperplane bucket in any
     of n_tables tables, exact cosine only on candidates.
+
+    `corpus_buckets`: a staged rp_buckets(corpus, ...) output built with
+    the SAME n_planes/n_tables/seed — skips the per-call corpus bucket
+    scan (the O(corpus) INDEX-BUILD term, amortized across query batches
+    in production where buckets are stored at ingest); bit-identical to
+    the one-shot path by construction.
 
     Recall/cost dials: more tables or fewer planes -> more candidates;
     n_probe > 1 additionally probes each table's nearest
@@ -379,7 +386,11 @@ def lsh_topk(
     re-attaches vectors to the deduped candidate set for exact verification.
     `dim` is accepted for API compatibility; the hyperplanes self-size from
     the data worker-side, so no driver scan happens either way."""
-    cb = rp_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed)
+    cb = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else rp_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed)
+    )
     qb = (
         rp_probe_buckets(
             queries, query_id_col, vec_col, n_planes, n_tables, seed, n_probe
@@ -576,6 +587,60 @@ def ivf_train_ml(
     )
 
 
+def _cell_assign_udf(centers, top: int):
+    """Pandas UDF assigning each vector its `top` nearest (cosine)
+    centroids. `centers` must already be L2-normalized rows (the ivf_train
+    contract); vectors are normalized worker-side."""
+    import numpy as np
+
+    @F.pandas_udf("array<int>")
+    def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack(vecs.to_numpy()).astype(np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ centers.T  # (n, n_cells)
+            idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            yield pd.Series(list(idx))
+
+    return cells
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INDEX-BUILD half of IVF: assign every corpus vector to its nearest
+    (cosine) centroid — the inverted-list table (id_col, cell int).
+
+    This is the one IVF stage whose cost scales with the corpus
+    (O(n x n_cells x dim) multiply-adds in one Arrow scan): a per-snapshot
+    INDEXING cost, paid once when the corpus (or quantizer) changes and
+    amortized across every query batch the index serves — production
+    stores `cell` alongside the vector at ingest. Folding it into the
+    probe wall (as the first 1M-vector recall run did) misattributes the
+    dominant one-time term to every query batch, the same misattribution
+    the linking bench fixed for kb_prep. Pass the staged result to
+    ivf_topk(corpus_cells=...) — bit-identical to the one-shot path by
+    construction (same UDF, same centers; pytest proves it)."""
+    import numpy as np
+
+    centers = np.asarray(centers, dtype=np.float64)
+    centers = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.element_at(_cell_assign_udf(centers, 1)(F.col(vec_col)), 1).alias(
+            "cell"
+        ),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -589,6 +654,7 @@ def ivf_topk(
     max_iter: int = 10,
     train_cap: int | None = None,
     centers=None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k (the coarse-quantizer inverted-list
     design, Jegou et al. '11 — public knowledge): a seeded pyspark.ml
@@ -608,9 +674,19 @@ def ivf_topk(
     centroid quality saturates long before full-corpus scale, and the fit
     is the only stage whose cost would otherwise grow with corpus size.
     Pass `centers` (from ivf_train) to reuse an already-trained quantizer
-    across query batches; training here is a convenience for one-shot use."""
+    across query batches; training here is a convenience for one-shot use.
+    Pass `corpus_cells` (from ivf_assign_cells, staged) to additionally
+    skip the per-call corpus cell assignment — the O(corpus) INDEX-BUILD
+    scan — leaving only true per-query-batch work; requires `centers`
+    (the cells are only meaningful under the quantizer that assigned
+    them)."""
     import numpy as np
 
+    if corpus_cells is not None and centers is None:
+        raise ValueError(
+            "ivf_topk: corpus_cells requires the centers that assigned it "
+            "(pass both from ivf_train/ivf_assign_cells)"
+        )
     if centers is None:
         centers = ivf_train(
             corpus,
@@ -630,28 +706,16 @@ def ivf_topk(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
     )
 
-    def cell_udf(top: int):
-        @F.pandas_udf("array<int>")
-        def cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for vecs in batches:
-                if len(vecs) == 0:
-                    yield pd.Series([], dtype=object)
-                    continue
-                v = np.stack(vecs.to_numpy()).astype(np.float64)
-                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-                sims = v @ centers.T  # (n, n_cells)
-                idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
-                yield pd.Series(list(idx))
-
-        return cells
-
-    c_cells = corpus.select(
-        F.col(id_col),
-        F.element_at(cell_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    c_cells = (
+        corpus_cells
+        if corpus_cells is not None
+        else ivf_assign_cells(corpus, centers, id_col=id_col, vec_col=vec_col)
     )
     q_cells = queries.select(
         F.col(query_id_col),
-        F.explode(cell_udf(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(_cell_assign_udf(centers, n_probe)(F.col(vec_col))).alias(
+            "cell"
+        ),
     )
     cand = (
         c_cells.join(F.broadcast(q_cells), "cell")

@@ -269,6 +269,73 @@ def test_ivf_train_reuse_is_identical(spark):
     assert sorted(map(tuple, one_shot)) == sorted(map(tuple, reused))
 
 
+def test_ivf_staged_cells_identical_and_require_centers(spark):
+    """ivf_topk(corpus_cells=ivf_assign_cells(...)) — the INDEX-BUILD /
+    query split — must be bit-identical to the one-shot path (production
+    stores the cell beside the vector at ingest and probes many query
+    batches against it), and corpus_cells without centers must fail
+    loudly: cells are only meaningful under the quantizer that assigned
+    them."""
+    import pytest
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(40, 16)
+    rows = []
+    for i in range(400):
+        v = centers[i % 40] + 0.05 * rng.randn(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(8)], "query_id long, embedding array<float>"
+    )
+    trained = ann.ivf_train(corpus, n_cells=16, seed=7)
+    one_shot = ann.ivf_topk(
+        corpus, queries, k=5, n_cells=16, n_probe=6, seed=7, centers=trained
+    ).collect()
+    cells = ann.ivf_assign_cells(corpus, trained)
+    assert cells.columns == ["vec_id", "cell"]
+    staged = ann.ivf_topk(
+        corpus,
+        queries,
+        k=5,
+        n_cells=16,
+        n_probe=6,
+        seed=7,
+        centers=trained,
+        corpus_cells=cells,
+    ).collect()
+    assert sorted(map(tuple, one_shot)) == sorted(map(tuple, staged))
+    with pytest.raises(ValueError, match="corpus_cells requires"):
+        ann.ivf_topk(corpus, queries, corpus_cells=cells)
+
+
+def test_lsh_staged_buckets_identical(spark):
+    """lsh_topk(corpus_buckets=rp_buckets(...)) — same index/query split
+    for the hash-based path — bit-identical to the one-shot path, for
+    both single- and multi-probe queries."""
+    corpus, vecs = _corpus(spark, n=400, dim=16, seed=9)
+    queries = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(6)],
+        "query_id long, embedding array<float>",
+    )
+    staged_cb = ann.rp_buckets(corpus, "vec_id", "embedding", 8, 3, 42)
+    for n_probe in (1, 3):
+        one_shot = ann.lsh_topk(
+            corpus, queries, k=5, n_planes=8, n_tables=3, seed=42, n_probe=n_probe
+        ).collect()
+        staged = ann.lsh_topk(
+            corpus,
+            queries,
+            k=5,
+            n_planes=8,
+            n_tables=3,
+            seed=42,
+            n_probe=n_probe,
+            corpus_buckets=staged_cb,
+        ).collect()
+        assert sorted(map(tuple, one_shot)) == sorted(map(tuple, staged))
+
+
 def test_ivf_train_deterministic_across_partitionings(spark):
     """The driver-side Lloyd's fit must be a pure function of (corpus
     contents, seed): the collected sample is sorted by id before the fit,

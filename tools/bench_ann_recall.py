@@ -23,6 +23,14 @@ embeddings): n_clusters centers, members = center + noise*randn, both from
 per-id seeded RandomState streams so workers and the driver-side numpy
 oracle generate byte-identical vectors with no data movement.
 
+r6: LSH buckets and IVF cells are built ONCE, staged to parquet (the
+production shape: buckets/cells stored beside the vector at ingest), and
+the timed probes run against the staged index — lsh_index_sec /
+ivf_index_sec report the one-time O(corpus) index-build terms separately
+from the recurring per-query-batch walls. The first 1M-vector run folded
+the index scan into every probe wall and made the scale paths look like
+they scaled WORSE than brute force.
+
 Recall@k = |approx top-k ∩ exact top-k| / k, averaged over queries.
 Walls are min-of-`runs` per variant (interference only ever adds time).
 
@@ -75,9 +83,11 @@ def main() -> None:
     from nlp_entity_linking_spark.conf import get_spark
     from nlp_entity_linking_spark.operators.ann import (
         brute_force_topk,
+        ivf_assign_cells,
         ivf_topk,
         ivf_train,
         lsh_topk,
+        rp_buckets,
     )
 
     spark = get_spark(app_name="bench_ann_recall")
@@ -142,19 +152,52 @@ def main() -> None:
             len(set(approx.get(j, [])) & set(exact[j])) / K for j in range(n_queries)
         ) / n_queries
 
+    # ---- INDEX BUILD (one-time per corpus snapshot, staged to parquet
+    # like production stores buckets/cells at ingest) vs QUERY (recurring
+    # per batch). Folding the O(corpus) index scan into the probe wall
+    # misattributes the dominant one-time term to every query batch —
+    # the first 1M-vector run did exactly that (ivf read 101.7s of which
+    # ~only the bounded cell-join was query work).
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="ann_recall_stage_")
+
+    t0 = time.perf_counter()
+    rp_buckets(corpus, "vec_id", "embedding", 12, 4, 42).write.mode(
+        "overwrite"
+    ).parquet(f"{stage_dir}/lsh_buckets")
+    lsh_index_sec = time.perf_counter() - t0
+    cb = spark.read.parquet(f"{stage_dir}/lsh_buckets")
+    print(json.dumps({"variant": "lsh_index", "sec": round(lsh_index_sec, 1)}))
+
     lsh1, lsh1_wall = timed(
-        lambda: lsh_topk(corpus, queries, k=K, n_probe=1), "lsh_p1"
+        lambda: lsh_topk(corpus, queries, k=K, n_probe=1, corpus_buckets=cb),
+        "lsh_p1",
     )
     lsh4, lsh4_wall = timed(
-        lambda: lsh_topk(corpus, queries, k=K, n_probe=4), "lsh_p4"
+        lambda: lsh_topk(corpus, queries, k=K, n_probe=4, corpus_buckets=cb),
+        "lsh_p4",
     )
     t0 = time.perf_counter()
     centers = ivf_train(corpus, n_cells=256)
     ivf_train_sec = time.perf_counter() - t0
     print(json.dumps({"variant": "ivf_train", "sec": round(ivf_train_sec, 1)}))
+    t0 = time.perf_counter()
+    ivf_assign_cells(corpus, centers).write.mode("overwrite").parquet(
+        f"{stage_dir}/ivf_cells"
+    )
+    ivf_index_sec = time.perf_counter() - t0
+    cells = spark.read.parquet(f"{stage_dir}/ivf_cells")
+    print(json.dumps({"variant": "ivf_index", "sec": round(ivf_index_sec, 1)}))
     ivf, ivf_wall = timed(
         lambda: ivf_topk(
-            corpus, queries, k=K, n_cells=256, n_probe=8, centers=centers
+            corpus,
+            queries,
+            k=K,
+            n_cells=256,
+            n_probe=8,
+            centers=centers,
+            corpus_cells=cells,
         ),
         "ivf",
     )
@@ -180,9 +223,12 @@ def main() -> None:
             "lsh_probe4": round(lsh4_wall, 1),
             "ivf": round(ivf_wall, 1),
         },
-        # one-time quantizer fit, amortized across every query batch the
-        # index ever serves — reported apart from the recurring probe wall
+        # one-time index-build terms, amortized across every query batch
+        # the index ever serves — reported apart from the recurring probe
+        # walls (which run against the STAGED index, production shape)
         "ivf_train_sec": round(ivf_train_sec, 1),
+        "ivf_index_sec": round(ivf_index_sec, 1),
+        "lsh_index_sec": round(lsh_index_sec, 1),
     }
     print(json.dumps(result))
     out = os.environ.get("ANN_BENCH_OUT")
