@@ -81,6 +81,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    check_driver_heap(
+        conf.get("spark.driver.memory", ""),
+        int(spark._jvm.Runtime.getRuntime().maxMemory()),
+    )
     # Reliable checkpoint dir for the iterative connected-components loop
     # (plan-lineage truncation; SURVEY.md §4.2 "iterative-plan blowup").
     if not spark.sparkContext.getCheckpointDir():
@@ -88,3 +92,61 @@ def get_spark(
             tempfile.mkdtemp(prefix="erlink_ckpt_")
         )
     return spark
+
+
+def _parse_mem_bytes(s: str) -> int | None:
+    """'96g' / '512m' / '1t' / plain bytes -> bytes; None if unparseable."""
+    s = s.strip().lower()
+    if not s:
+        return None
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    mult = units.get(s[-1])
+    digits = s[:-1] if mult else s
+    mult = mult or 1
+    try:
+        return int(float(digits) * mult)
+    except ValueError:
+        return None
+
+
+def check_driver_heap(
+    intended: str, jvm_max_heap_bytes: int, warn=None
+) -> bool:
+    """Detect the spark-submit heap trap AT SESSION BUILD instead of 24
+    minutes into a GC-thrashed job.
+
+    Under spark-submit the driver JVM exists before this builder runs, so
+    `spark.driver.memory`/`extraJavaOptions` set here are SILENTLY ignored
+    and the job runs on the 1g default — exactly how the first 1M-page
+    certification attempt died (records stage GC-thrashed 24 min, then
+    HashAggregate/broadcast OOMs in blocking). Compare the live JVM max
+    heap against the intended conf and warn loudly with the remedy when
+    they disagree beyond toy scale. Returns True when the heap matches (or
+    the check is inapplicable), False when the trap fired.
+
+    A warning rather than a hard error: a deliberately small
+    `--driver-memory` on a toy input is legitimate, and Xmx never equals
+    the requested size exactly (G1 reserves survivor space — observed
+    ~85-98% of request), hence the 2x slack below."""
+    if warn is None:
+        import warnings
+
+        warn = lambda m: warnings.warn(m, stacklevel=3)  # noqa: E731
+    want = _parse_mem_bytes(intended)
+    if want is None or want <= 2 * 2**30:
+        return True  # toy-scale intent: the 1g default is not a trap
+    # JVM Xmx reports slightly under the request; 2x slack only catches
+    # order-of-magnitude mismatches (96g intended vs 1g actual), never
+    # rounding.
+    if jvm_max_heap_bytes * 2 >= want:
+        return True
+    warn(
+        f"driver JVM max heap is {jvm_max_heap_bytes / 2**30:.1f} GiB but "
+        f"spark.driver.memory={intended} was requested — the JVM was "
+        "launched before this session builder ran (spark-submit mode), so "
+        "builder heap settings were SILENTLY IGNORED. Beyond toy inputs "
+        "this GC-thrashes and OOMs. Pass the heap on the launch line: "
+        f"spark-submit --driver-memory {intended} "
+        "--conf 'spark.driver.extraJavaOptions=-Xms32g -XX:+UseG1GC' ..."
+    )
+    return False

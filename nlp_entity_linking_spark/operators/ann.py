@@ -213,14 +213,28 @@ def rp_buckets(
     sig): an 8-byte long key (same key-width policy as blocking.py — hash
     keys shuffle/compare cheaper than formatted strings). THIN by design:
     the embedding never rides the explode or the bucket shuffle; callers
-    re-attach vectors to the (much smaller) candidate set."""
+    re-attach vectors to the (much smaller) candidate set.
+
+    The bucket column carries its build params in column METADATA
+    (rp_params = "p{planes}t{tables}s{seed}") — Spark persists StructField
+    metadata through parquet, so an index staged at ingest self-describes
+    and lsh_topk(corpus_buckets=...) can reject a staged table whose params
+    differ from the query side (mismatched params make query buckets never
+    hit corpus buckets: recall silently collapses to ~0)."""
     sig_udf = rp_signatures(n_planes, n_tables, seed)
     return df.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("_tbl", "_sig")
     ).select(
         id_col,
-        F.xxhash64(F.col("_tbl").cast("int"), F.col("_sig")).alias("bucket"),
+        F.xxhash64(F.col("_tbl").cast("int"), F.col("_sig")).alias(
+            "bucket",
+            metadata={"rp_params": _rp_params_tag(n_planes, n_tables, seed)},
+        ),
     )
+
+
+def _rp_params_tag(n_planes: int, n_tables: int, seed: int) -> str:
+    return f"p{n_planes}t{n_tables}s{seed}"
 
 
 def rp_probe_buckets(
@@ -386,6 +400,33 @@ def lsh_topk(
     re-attaches vectors to the deduped candidate set for exact verification.
     `dim` is accepted for API compatibility; the hyperplanes self-size from
     the data worker-side, so no driver scan happens either way."""
+    if corpus_buckets is not None:
+        cols = set(corpus_buckets.columns)
+        if not {id_col, "bucket"} <= cols:
+            raise ValueError(
+                f"lsh_topk: corpus_buckets must have columns ({id_col!r}, "
+                f"'bucket') — got {sorted(cols)}; build it with "
+                "rp_buckets(corpus, ...)"
+            )
+        staged = corpus_buckets.schema["bucket"].metadata.get("rp_params")
+        want = _rp_params_tag(n_planes, n_tables, seed)
+        if staged is not None and staged != want:
+            raise ValueError(
+                f"lsh_topk: staged corpus_buckets was built with rp_params="
+                f"{staged} but this call uses {want} — query buckets would "
+                "never match corpus buckets (recall ~0). Rebuild the index "
+                "or pass the matching n_planes/n_tables/seed."
+            )
+        if staged is None:
+            import warnings
+
+            warnings.warn(
+                "lsh_topk: corpus_buckets carries no rp_params metadata "
+                "(built by something other than rp_buckets?) — cannot "
+                "verify it matches n_planes/n_tables/seed; a mismatch "
+                "silently collapses recall to ~0.",
+                stacklevel=2,
+            )
     cb = (
         corpus_buckets
         if corpus_buckets is not None

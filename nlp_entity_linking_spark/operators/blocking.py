@@ -315,6 +315,7 @@ def snb_global_rank(
     records: DataFrame,
     key_col: str = "norm",
     n_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Global rank under total order (key_col, record_id) WITHOUT the
     single-partition-window straggler (SURVEY.md D3, §4.2).
@@ -392,8 +393,11 @@ def snb_global_rank(
     r = r.withColumn("_local", F.row_number().over(w))
     # persist is an OPTIMIZATION here (offsets count + final read share the
     # window), never a correctness dependency: recomputation reproduces
-    # identical buckets/ranks bit-for-bit.
+    # identical buckets/ranks bit-for-bit. Long-running callers pass
+    # cache_registry to unpersist after downstream materialization.
     r = r.persist()
+    if cache_registry is not None:
+        cache_registry.append(r)
     counts = r.groupBy("_bucket").count().orderBy("_bucket").collect()
     offsets = {}
     acc = 0
@@ -415,6 +419,7 @@ def snb_pairs(
     key_col: str = "norm",
     window: int = 3,
     n_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood pairs: all (a, b) with 0 < rank_b - rank_a <= w
     under the (key_col, record_id) total order.
@@ -423,7 +428,7 @@ def snb_pairs(
     bucket = floor(rank / w): each left row probes its own bucket and the
     next one — 2x fan-out instead of a cross join.
     """
-    ranked = snb_global_rank(records, key_col, n_partitions)
+    ranked = snb_global_rank(records, key_col, n_partitions, cache_registry)
     a = ranked.select(
         F.col("record_id").alias("id_a"),
         F.col("rank").alias("rank_a"),

@@ -67,12 +67,20 @@ def build_records(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return R.extract_records(pages, shingle_n=cfg.shingle_n)
 
 
-def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def build_candidate_pairs(
+    records: DataFrame,
+    cfg: PipelineConfig,
+    cache_registry: list | None = None,
+) -> DataFrame:
     # persist: salting reads blocks twice (hot-key sizes + the salt join),
     # and recomputing blocks means recomputing minhash signatures.
+    # cache_registry (as in build_features): long-running callers collect
+    # the internal persists and unpersist them after materialization.
     blocks = B.lsh_blocks(
         records, "shingles", k=cfg.minhash_k, bands=cfg.bands
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(blocks)
     hot = B.hot_keys(blocks, cfg.salt_cap)
     salted = B.apply_salt(blocks, hot)
     # dedup once across all enabled blockers (merge_pairs) instead of
@@ -81,7 +89,12 @@ def build_candidate_pairs(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if cfg.link_shards:
         parts.append(B.cross_shard_rep_pairs(blocks, hot))
     if cfg.use_snb:
-        parts.append(B.snb_pairs(records, "norm", window=cfg.snb_window))
+        parts.append(
+            B.snb_pairs(
+                records, "norm", window=cfg.snb_window,
+                cache_registry=cache_registry,
+            )
+        )
     if cfg.use_phonetic:
         ph = B.phonetic_blocks(records)
         hot_ph = B.hot_keys(ph, cfg.salt_cap)

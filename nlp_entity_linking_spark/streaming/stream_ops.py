@@ -741,7 +741,12 @@ def compact(
                    with batch GLOBAL-shard-size semantics and recompute
                    clusters (see _converge_hot_key_edges). Post-compaction
                    clusters are byte-equal to the batch pipeline for
-                   pair-local score models; requires cfg.
+                   pair-local score models WITH cfg.use_snb and
+                   cfg.use_phonetic False — streaming only generates LSH
+                   candidates, so SNB/phonetic candidate pairs the batch
+                   pipeline would add are never reconciled here (a warning
+                   fires when such a cfg is passed; use "rescore" for
+                   full-blocker equality). Requires cfg.
     * "rescore"  — periodic batch reconciliation: rebuild candidate pairs,
                    features, edges, and clusters from the folded records
                    with the full batch pipeline (fresh corpus-wide IDF).
@@ -768,6 +773,17 @@ def compact(
         raise ValueError(f"compact: unknown mode {mode!r}")
     if mode != "fold" and cfg is None:
         raise ValueError(f"compact(mode={mode!r}) needs the pipeline cfg")
+    if mode == "converge" and (cfg.use_snb or cfg.use_phonetic):
+        import warnings
+
+        warnings.warn(
+            "compact(mode='converge') with cfg.use_snb/use_phonetic set: "
+            "streaming never generates SNB/phonetic candidates, so "
+            "post-compaction clusters are NOT batch-equal under this cfg — "
+            "converge only reconciles the hot-key LSH region. Use "
+            "mode='rescore' for full-blocker batch equality.",
+            stacklevel=2,
+        )
 
     cat = Catalog(out_dir, run_id)
     meta = cat.committed_meta("epoch")
@@ -783,6 +799,7 @@ def compact(
         for name in ("records", "blocks", "edges")
     }
     converged = None
+    rescore_cached: list[DataFrame] = []
     if mode == "converge":
         converged = _converge_hot_key_edges(
             spark, state["records"], state["blocks"], state["edges"], cfg
@@ -790,8 +807,17 @@ def compact(
     elif mode == "rescore":
         from ..functions import similarity as S
 
-        pairs = P.build_candidate_pairs(state["records"], cfg)
-        feats = P.build_features(state["records"], pairs, cfg)
+        # rescore runs as a periodically scheduled reconciliation inside a
+        # long-lived streaming driver: collect the batch pipeline's internal
+        # persists (LSH blocks, SNB ranks, TF-IDF weights) and drop them
+        # after the edges table materializes, or each invocation leaks
+        # cached frames into executor storage memory.
+        pairs = P.build_candidate_pairs(
+            state["records"], cfg, cache_registry=rescore_cached
+        )
+        feats = P.build_features(
+            state["records"], pairs, cfg, cache_registry=rescore_cached
+        )
         converged = (
             S.score_pairs(
                 feats.filter(S.may_reach_threshold(cfg.model, cfg.score_threshold)),
@@ -804,6 +830,8 @@ def compact(
         state["edges"] = converged
     for name in ("records", "blocks", "edges"):
         cat.write(state[name], f"{name}_epoch_{cid}")
+    for df in rescore_cached:  # edges table is on disk; drop pipeline caches
+        df.unpersist()
     if converged is not None:
         # recompute clusters from the reconciled edge table (read back:
         # truncates the converge plan so the cached frames can drop)

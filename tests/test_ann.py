@@ -336,6 +336,55 @@ def test_lsh_staged_buckets_identical(spark):
         assert sorted(map(tuple, one_shot)) == sorted(map(tuple, staged))
 
 
+def test_lsh_staged_buckets_param_mismatch_rejected(spark, tmp_path):
+    """A staged bucket table built with different n_planes/n_tables/seed
+    must be REJECTED loudly — mismatched params mean query buckets never
+    match corpus buckets and recall silently collapses to ~0. The param
+    tag rides column metadata, which Spark persists through parquet, so
+    the guard also holds for an index staged at ingest and read back."""
+    import pytest
+
+    corpus, vecs = _corpus(spark, n=50, dim=8, seed=9)
+    queries = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, embedding array<float>"
+    )
+    cb = ann.rp_buckets(corpus, "vec_id", "embedding", 8, 3, 42)
+    # metadata survives the parquet round-trip (the at-ingest staging path)
+    path = str(tmp_path / "cb")
+    cb.write.parquet(path)
+    cb_disk = spark.read.parquet(path)
+    assert cb_disk.schema["bucket"].metadata["rp_params"] == "p8t3s42"
+    for bad_kwargs in (
+        dict(n_planes=9, n_tables=3, seed=42),
+        dict(n_planes=8, n_tables=4, seed=42),
+        dict(n_planes=8, n_tables=3, seed=43),
+    ):
+        with pytest.raises(ValueError, match="rp_params"):
+            ann.lsh_topk(
+                corpus, queries, k=3, corpus_buckets=cb_disk, **bad_kwargs
+            )
+    # wrong shape rejected outright
+    with pytest.raises(ValueError, match="must have columns"):
+        ann.lsh_topk(corpus, queries, k=3, corpus_buckets=corpus,
+                     n_planes=8, n_tables=3, seed=42)
+    # an untagged frame (foreign builder) warns but still runs
+    import warnings as _w
+
+    # alias with explicit empty metadata strips the tag (a bare alias
+    # would propagate the child attribute's metadata)
+    untagged = cb_disk.select(
+        "vec_id", F.col("bucket").alias("bucket", metadata={})
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = ann.lsh_topk(
+            corpus, queries, k=3, corpus_buckets=untagged,
+            n_planes=8, n_tables=3, seed=42,
+        ).collect()
+    assert any("rp_params" in str(x.message) for x in rec)
+    assert len(got) > 0
+
+
 def test_ivf_train_deterministic_across_partitionings(spark):
     """The driver-side Lloyd's fit must be a pure function of (corpus
     contents, seed): the collected sample is sorted by id before the fit,

@@ -704,6 +704,34 @@ def test_incremental_vs_batch_divergence_fence(spark, tmp_path):
     assert cm == bm
 
 
+def test_compact_converge_warns_on_snb_or_phonetic_cfg(spark, tmp_path):
+    """converge's batch-equality claim only holds for cfgs whose blockers
+    streaming actually runs (LSH): with use_snb or use_phonetic set the
+    SNB/phonetic candidates batch would generate are never reconciled, so
+    compact must warn the caller toward mode='rescore'. The warning fires
+    before any catalog I/O, so an empty run dir keeps this test cheap."""
+    import warnings as _w
+
+    from nlp_entity_linking_spark.plans import pipeline as P
+
+    for cfg in (
+        P.PipelineConfig(use_snb=True),
+        P.PipelineConfig(use_snb=False, use_phonetic=True),
+    ):
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            res = ST.compact(spark, str(tmp_path), "norun", cfg=cfg,
+                             mode="converge")
+        assert res == {"epoch": None, "n_epochs_folded": 0}
+        assert any("rescore" in str(x.message) for x in rec)
+    # the fenced regime (LSH-only cfg) stays silent
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ST.compact(spark, str(tmp_path), "norun",
+                   cfg=P.PipelineConfig(use_snb=False), mode="converge")
+    assert not [x for x in rec if "rescore" in str(x.message)]
+
+
 def test_compact_rescore_equals_batch_with_corpus_features(spark, tmp_path):
     """compact(mode="rescore") is periodic batch reconciliation: even with a
     CORPUS-DEPENDENT score model (nonzero TF-IDF cosine weight — the regime
@@ -729,8 +757,15 @@ def test_compact_rescore_equals_batch_with_corpus_features(spark, tmp_path):
     q.awaitTermination(300)
     cat = Catalog(out, "s1")
 
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     res = ST.compact(spark, out, "s1", cfg=cfg, mode="rescore")
     assert res["epoch"] is not None
+    # rescore is a periodically scheduled job in a long-lived streaming
+    # driver: its internal pipeline persists (LSH blocks, SNB ranks, TF-IDF
+    # weights) must NOT outlive the call, or they accumulate per invocation
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size() <= persisted_before
+    )
 
     brecords = P.build_records(pages, cfg).persist()
     bpairs = P.build_candidate_pairs(brecords, cfg)

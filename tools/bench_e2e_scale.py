@@ -38,10 +38,10 @@ REPO = "/root/repo"
 ZIP = os.path.join(REPO, "dist", "nlp_entity_linking_spark.zip")
 
 
-def _tree_rss_bytes(sid: int) -> int:
-    """Sum RSS over every process in session `sid` (driver JVM forks +
-    Python workers all inherit the launch session)."""
-    total = 0
+def _session_pids(sid: int) -> list[int]:
+    """Every process in session `sid` (driver JVM forks + Python workers
+    all inherit the launch session)."""
+    pids = []
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -49,14 +49,76 @@ def _tree_rss_bytes(sid: int) -> int:
             with open(f"/proc/{pid}/stat") as f:
                 # comm (field 2) may contain spaces — split after the ')'
                 rest = f.read().rsplit(")", 1)[1].split()
-            if int(rest[3]) != sid:  # session id
-                continue
-            # statm field 1 = resident pages
-            with open(f"/proc/{pid}/statm") as f:
-                total += int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+            if int(rest[3]) == sid:  # session id
+                pids.append(int(pid))
         except (OSError, IndexError, ValueError):
             continue
-    return total
+    return pids
+
+
+def _tree_mem_bytes(sid: int) -> tuple[int, int]:
+    """(pss_sum, rss_sum) over the process session.
+
+    PSS (smaps_rollup) divides every shared page by its mapper count, so
+    the sum over the JVM + its ~32 forked Python workers is the tree's TRUE
+    unique-memory footprint. A plain RSS sum counts each COW/shared page
+    once PER PROCESS — the r6 artifact reported 184.8 GiB 'peak RSS' on a
+    125 GiB host that way — so RSS is kept only as the labeled upper bound.
+    """
+    pss = rss = 0
+    for pid in _session_pids(sid):
+        try:
+            with open(f"/proc/{pid}/smaps_rollup") as f:
+                got = 0
+                for line in f:  # Rss: line precedes Pss: in rollup order
+                    if line.startswith("Rss:"):
+                        rss += int(line.split()[1]) * 1024
+                        got += 1
+                    elif line.startswith("Pss:"):
+                        pss += int(line.split()[1]) * 1024
+                        got += 1
+                    if got == 2:
+                        break
+        except OSError:
+            continue
+    return pss, rss
+
+
+# cgroup v1 memory controller of this container (the kernel's own
+# accounting — what the OOM killer acts on). max_usage includes page cache
+# (reclaimable), so it brackets the PSS number from above; usage is
+# container-wide, so run benches on a quiet host.
+def _cgroup_mem_dir() -> str | None:
+    try:
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                parts = line.strip().split(":")
+                if len(parts) == 3 and "memory" in parts[1].split(","):
+                    d = f"/sys/fs/cgroup/memory{parts[2]}"
+                    if os.path.exists(os.path.join(d, "memory.max_usage_in_bytes")):
+                        return d
+    except OSError:
+        pass
+    return None
+
+
+def _cgroup_peak_reset(d: str | None) -> None:
+    if d:
+        try:
+            with open(os.path.join(d, "memory.max_usage_in_bytes"), "w") as f:
+                f.write("0")
+        except OSError:
+            pass
+
+
+def _cgroup_peak_read(d: str | None) -> int | None:
+    if not d:
+        return None
+    try:
+        with open(os.path.join(d, "memory.max_usage_in_bytes")) as f:
+            return int(f.read())
+    except OSError:
+        return None
 
 
 def _launch(run_id: str, out_root: str, n_pages: int, resume: bool = False):
@@ -98,19 +160,37 @@ def _launch(run_id: str, out_root: str, n_pages: int, resume: bool = False):
 
 
 def _run_to_completion(run_id: str, out_root: str, n_pages: int, resume=False):
-    """Run, polling tree RSS; return (summary dict, wall_sec, peak_rss)."""
+    """Run, polling tree PSS/RSS; return (summary, wall_sec, mem dict).
+
+    mem = {peak_pss_gib, peak_rss_sum_gib, cgroup_peak_gib}: PSS is the
+    true unique footprint (headroom vs the 125 GiB host reads off this);
+    RSS-sum is the COW-double-counting upper bound kept for continuity with
+    the r6 artifact; cgroup peak is the kernel's container-wide accounting
+    including reclaimable page cache (reset before each run)."""
+    cg = _cgroup_mem_dir()
+    _cgroup_peak_reset(cg)
     t0 = time.perf_counter()
     proc = _launch(run_id, out_root, n_pages, resume)
-    peak = 0
+    peak_pss = peak_rss = 0
     while proc.poll() is None:
-        peak = max(peak, _tree_rss_bytes(proc.pid))
+        pss, rss = _tree_mem_bytes(proc.pid)
+        peak_pss = max(peak_pss, pss)
+        peak_rss = max(peak_rss, rss)
         time.sleep(0.5)
     wall = time.perf_counter() - t0
+    cg_peak = _cgroup_peak_read(cg)
     out = proc.stdout.read()
     if proc.returncode != 0:
         raise RuntimeError(f"run {run_id} failed rc={proc.returncode}: {out[-2000:]}")
     summary = json.loads(out.strip().splitlines()[-1])
-    return summary, wall, peak
+    mem = {
+        "peak_pss_gib": round(peak_pss / 2**30, 2),
+        "peak_rss_sum_gib": round(peak_rss / 2**30, 2),
+        "cgroup_peak_gib": (
+            round(cg_peak / 2**30, 2) if cg_peak is not None else None
+        ),
+    }
+    return summary, wall, mem
 
 
 def _stage_walls(out_root: str, run_id: str) -> dict:
@@ -140,6 +220,9 @@ def _tables_equal(a: str, b: str, cols: str) -> tuple[bool, int, int]:
 
 
 def main() -> None:
+    measure_only = "--measure-only" in sys.argv
+    if measure_only:
+        sys.argv.remove("--measure-only")
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/erlink_e2e_scale"
     artifact = (
@@ -153,10 +236,27 @@ def main() -> None:
 
     # ---- run A: uninterrupted -------------------------------------------
     print(f"run A (uninterrupted, {n_pages} pages) ...", flush=True)
-    summary_a, wall_a, peak_a = _run_to_completion("full", out_root, n_pages)
+    summary_a, wall_a, mem_a = _run_to_completion("full", out_root, n_pages)
     print(json.dumps({"run": "A", "wall_sec": round(wall_a, 1),
-                      "peak_rss_gib": round(peak_a / 2**30, 2),
+                      **mem_a,
                       "f1": summary_a.get("eval", {}).get("f1")}), flush=True)
+
+    if measure_only:
+        result = {
+            "n_pages": n_pages,
+            "master": "local[32]",
+            "mode": "measure-only (run A, no kill/resume)",
+            "uninterrupted": {
+                "wall_sec": round(wall_a, 1),
+                **mem_a,
+                "stage_walls_sec": _stage_walls(out_root, "full"),
+                "summary": summary_a,
+            },
+        }
+        print(json.dumps(result))
+        with open(artifact, "w") as fh:
+            json.dump(result, fh, indent=1)
+        return
 
     # ---- run B: SIGKILL mid-CC, then resume ------------------------------
     print("run B (kill mid-CC) ...", flush=True)
@@ -187,7 +287,7 @@ def main() -> None:
           flush=True)
 
     print("run B resume ...", flush=True)
-    summary_b, wall_b, peak_b = _run_to_completion(
+    summary_b, wall_b, mem_b = _run_to_completion(
         "killed", out_root, n_pages, resume=True
     )
 
@@ -207,7 +307,7 @@ def main() -> None:
         "master": "local[32]",
         "uninterrupted": {
             "wall_sec": round(wall_a, 1),
-            "peak_rss_gib": round(peak_a / 2**30, 2),
+            **mem_a,
             "stage_walls_sec": _stage_walls(out_root, "full"),
             "summary": summary_a,
         },
@@ -215,7 +315,7 @@ def main() -> None:
             "killed_after_sec": round(killed_at, 1),
             "cc_iters_committed_at_kill": len(committed_iters),
             "resume_wall_sec": round(wall_b, 1),
-            "resume_peak_rss_gib": round(peak_b / 2**30, 2),
+            "resume_mem": mem_b,
             "resume_summary": summary_b,
         },
         "byte_equal": {
@@ -229,8 +329,8 @@ def main() -> None:
     print(json.dumps(result))
     with open(artifact, "w") as fh:
         json.dump(result, fh, indent=1)
-    if not (clusters_eq and edges_eq):
-        raise SystemExit("BYTE-EQUALITY FAILED")
+    if not (clusters_eq and edges_eq and result["byte_equal"]["f1_equal"]):
+        raise SystemExit(f"BYTE-EQUALITY FAILED: {result['byte_equal']}")
 
 
 if __name__ == "__main__":

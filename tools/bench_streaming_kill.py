@@ -195,6 +195,13 @@ def main() -> None:
     with open(artifact, "w") as f:
         json.dump(result, f, indent=1)
     shutil.rmtree(work, ignore_errors=True)
+    # the artifact records the verdicts, but a certification tool must also
+    # FAIL when they are false — otherwise a future exactly-once regression
+    # writes a false-flagged artifact without tripping any gate.
+    bad = [k for k in ("epochs_equal", "records_equal", "clusters_equal",
+                       "edge_union_equal") if not result[k]]
+    if bad:
+        raise SystemExit(f"EXACTLY-ONCE CERTIFICATION FAILED: {bad} are false")
 
 
 if __name__ == "__main__":
