@@ -34,8 +34,14 @@ DEFAULT_CONF: dict[str, str] = {
     # (native <-> JVM) path — first jobs run 3-5x slow until the heap grows.
     "spark.driver.extraJavaOptions": "-Xms32g -XX:+UseG1GC",
     "spark.driver.maxResultSize": "4g",
-    # shuffle width ~ cores for local mode; cluster: 2-3x total cores.
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # shuffle width: 2x cores, not 1x — measured on the engine's dominant
+    # exchange (the 33M-row (id,token) sparse-cosine join at 1M pages):
+    # 32 partitions -> 110s, 64 -> 50s, 256 -> 48s min-of-2
+    # (BENCH/features_anatomy_r7.json). 1M rows/partition is too coarse to
+    # keep 32 cores fed through the join tails; with AQE coalescing ON the
+    # value is a CEILING, so small queries pay nothing for the extra width.
+    # Cluster guidance stays 2-3x total cores (README deployment notes).
+    "spark.sql.shuffle.partitions": str(2 * (os.cpu_count() or 8)),
     # explicit broadcast threshold (64 MiB): dimension tables / IDF maps /
     # hot-key sets are broadcast; candidate-pair fact tables never are.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -104,11 +104,49 @@ def _release_ckpt_blocks(df: DataFrame, rdd_id: int | None) -> None:
         pass
 
 
+def _driver_union_find(rows) -> dict[int, int]:
+    """Exact min-id component labels for a SMALL edge list, driver-side.
+
+    Path-compressed union-find, then each component labeled by its minimum
+    member id — the same labeling large-star/small-star converges to, so
+    the two paths are interchangeable row-for-row
+    (tests/test_cc.py::test_small_graph_fast_path_equals_distributed)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)  # union by min keeps roots minimal
+    return {x: find(x) for x in parent}
+
+
+# Below this many (distinct, canonical) edges the star-iteration loop costs
+# more in job round-trips than the data is worth: a collect of <= 2 longs x
+# threshold rows (~1.6 MB) + driver union-find replaces 3-6 distributed
+# iterations x ~3 jobs each. The DISTRIBUTED path is the 100-TB design;
+# this bound only short-circuits the tail where the subgraph is tiny —
+# exactly the common case for incremental streaming batches, whose touched
+# subgraph is O(batch), not O(corpus).
+SMALL_GRAPH_EDGES = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     checkpoint: bool = True,
     on_iteration=None,
+    small_graph_threshold: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(u: long, v: long) -> labels(record_id: long, cluster_id: long)
     for every vertex appearing in `edges` (cluster_id = min id in component).
@@ -143,6 +181,23 @@ def connected_components(
     if checkpoint:
         cur, cur_id = _ckpt_uv(cur)
     cur_stats = _stats(cur)
+    # small-graph fast path: the convergence-stats job above already counts
+    # the canonical edges, so this decision costs the big-graph path ZERO
+    # extra jobs. Under the bound, collect + driver union-find replaces the
+    # whole iteration loop with identical labels. Disabled when an
+    # on_iteration hook is installed (the hook IS the product for the
+    # catalog-committed resume path) or by small_graph_threshold=None.
+    if (
+        small_graph_threshold
+        and on_iteration is None
+        and cur_stats[0] <= small_graph_threshold
+    ):
+        labels = _driver_union_find(cur.collect())
+        _release_ckpt_blocks(cur, cur_id)  # abandoned checkpoint's blocks
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(labels.items()), "record_id long, cluster_id long"
+        )
     for i in range(max_iter):
         nxt = _canon(_small_star(_large_star(cur)))
         nxt_id = None

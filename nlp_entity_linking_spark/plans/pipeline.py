@@ -111,6 +111,7 @@ def build_features(
     pairs: DataFrame,
     cfg: PipelineConfig,
     cache_registry: list | None = None,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """pairs + (norm_a, norm_b, tsl, cos) — everything here is JVM-side.
 
@@ -133,17 +134,25 @@ def build_features(
     # (record, token) weight rows, so `tok < 1.5M` (~40 B/row, well under
     # the 64 MiB broadcast ceiling) is a safe real-statistics threshold —
     # pair_cosine then fires no count of its own.
-    stats = records.agg(
-        F.count("*").alias("n"), F.sum(F.size("ctx_tokens")).alias("tok")
-    ).collect()[0]
-    n_docs = stats["n"]
+    # corpus_stats=(n_docs, tok): callers that already KNOW both (the
+    # streaming path accumulates them per epoch in the catalog marker)
+    # pass them and this stage fires no corpus scan at all — per-batch
+    # driver work stays O(batch) instead of one O(corpus) agg per
+    # micro-batch.
+    if corpus_stats is not None:
+        n_docs, tok = corpus_stats
+    else:
+        stats = records.agg(
+            F.count("*").alias("n"), F.sum(F.size("ctx_tokens")).alias("tok")
+        ).collect()[0]
+        n_docs, tok = stats["n"], stats["tok"]
     weights = S.tfidf_weights(records, "ctx_tokens", n_docs=n_docs).persist()
     if cache_registry is not None:
         cache_registry.append(weights)
     cosed = S.pair_cosine(
         pairs.select("id_a", "id_b", "block_key"),
         weights,
-        broadcast_weights=(stats["tok"] or 0) < 1_500_000,
+        broadcast_weights=(tok or 0) < 1_500_000,
     )
     thin = records.select("record_id", "norm", "tokens")
     a = thin.select(

@@ -471,8 +471,16 @@ def incremental_er(
         import time as _time
 
         t_batch = _time.perf_counter()
+        phases: dict[str, int] = {}  # driver-phase walls -> epoch_stats
+
+        def _mark(name: str, t0: float) -> float:
+            now = _time.perf_counter()
+            phases[name] = int((now - t0) * 1000)
+            return now
+
         cached: list[DataFrame] = []
         try:
+            t_ph = t_batch
             meta = _epoch_meta()
             epochs = list(meta["epochs"])
             prev_records = _read_state(spark, cat, "records", epochs)
@@ -483,8 +491,29 @@ def incremental_er(
                 )
             new_records = new_records.persist()
             cached.append(new_records)
-            if new_records.count() == 0:
+            # ONE agg powers the empty-batch check AND the incremental
+            # corpus stats (n_docs + ctx-token count) that let
+            # build_features skip its per-batch O(corpus) stats scan
+            _agg = new_records.agg(
+                F.count("*").alias("n"),
+                F.sum(F.size("ctx_tokens")).alias("tok"),
+            ).collect()[0]
+            n_new, tok_new = _agg["n"], _agg["tok"] or 0
+            t_ph = _mark("records_ms", t_ph)
+            if n_new == 0:
                 return
+            cstats = meta.get("corpus_stats")
+            if cstats is None and epochs and prev_records is not None:
+                # legacy marker (pre-stats version): one catch-up scan
+                # over the committed corpus, then accumulation takes over
+                _p = prev_records.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.size("ctx_tokens")).alias("tok"),
+                ).collect()[0]
+                cstats = {"n": _p["n"], "tok": _p["tok"] or 0}
+            elif cstats is None:
+                cstats = {"n": 0, "tok": 0}
+            corpus_stats = (cstats["n"] + n_new, cstats["tok"] + tok_new)
 
             new_blocks = B.lsh_blocks(
                 new_records, "shingles", k=cfg.minhash_k, bands=cfg.bands
@@ -502,7 +531,10 @@ def incremental_er(
                 else new_records
             )
 
-            feats = P.build_features(merged_records, pairs, cfg, cache_registry=cached)
+            feats = P.build_features(
+                merged_records, pairs, cfg, cache_registry=cached,
+                corpus_stats=corpus_stats,
+            )
             # same exact JVM cheap-reject gate as the batch edge path
             # (score_edges): certain non-edges never cross into Python, and
             # the edge set is provably unchanged
@@ -531,6 +563,7 @@ def incremental_er(
             # point.
             from concurrent.futures import ThreadPoolExecutor
 
+            t_ph = _mark("plan_ms", t_ph)  # lazy builds above: driver-only
             with ThreadPoolExecutor(max_workers=4) as tpool:
                 futs = [
                     tpool.submit(
@@ -543,6 +576,8 @@ def incremental_er(
                     tpool.submit(pairs.count),
                 ]
                 n_pairs = [f.result() for f in futs][-1]
+            t_ph = _mark("score_writes_ms", t_ph)  # blocks/pairs/features/
+            # edges all materialize here (first action over the lazy plans)
 
             # INCREMENTAL clustering: CC runs only on the subgraph reachable
             # from this batch's edges (prior clusters re-enter as star
@@ -559,6 +594,7 @@ def incremental_er(
                 prev_clusters, new_records, committed_edges, cfg
             )
             cat.write(clusters, f"clusters_epoch_{epoch_id}")
+            t_ph = _mark("cluster_ms", t_ph)
 
             all_epochs = epochs + [epoch_id]
             # SINGLE atomic commit point: advance the visible-epoch set
@@ -569,15 +605,19 @@ def incremental_er(
                 {
                     "epochs": all_epochs,
                     "n_compactions": int(meta.get("n_compactions", 0)),
+                    "corpus_stats": {
+                        "n": corpus_stats[0], "tok": corpus_stats[1]
+                    },
                 },
             )
             cat.commit(
                 f"epoch_stats_{epoch_id}",
                 {
-                    "n_new_records": new_records.count(),
+                    "n_new_records": n_new,
                     "n_pairs_scored": n_pairs,
                     "n_visible_epochs": len(epochs),
                     "wall_ms": int((_time.perf_counter() - t_batch) * 1000),
+                    **phases,
                 },
             )
             # external-reader alias (flipped after the epoch commit;
@@ -612,6 +652,7 @@ def _converge_hot_key_edges(
     blocks: DataFrame,
     edges: DataFrame,
     cfg,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Reconcile streamed edges with BATCH hot-key semantics at compaction.
 
@@ -688,7 +729,10 @@ def _converge_hot_key_edges(
             .distinct()
         )
         cached: list[DataFrame] = []
-        feats = P.build_features(records, hot_pairs, cfg, cache_registry=cached)
+        feats = P.build_features(
+            records, hot_pairs, cfg, cache_registry=cached,
+            corpus_stats=corpus_stats,
+        )
         fresh = (
             S.score_pairs(
                 feats.filter(S.may_reach_threshold(cfg.model, cfg.score_threshold)),
@@ -798,11 +842,16 @@ def compact(
         name: _read_state(spark, cat, name, epochs)
         for name in ("records", "blocks", "edges")
     }
+    # records are carried verbatim through every compaction mode, so the
+    # accumulated corpus stats (n_docs, ctx tokens) ride the marker flip
+    cstats = meta.get("corpus_stats")
+    stats_tuple = (cstats["n"], cstats["tok"]) if cstats else None
     converged = None
     rescore_cached: list[DataFrame] = []
     if mode == "converge":
         converged = _converge_hot_key_edges(
-            spark, state["records"], state["blocks"], state["edges"], cfg
+            spark, state["records"], state["blocks"], state["edges"], cfg,
+            corpus_stats=stats_tuple,
         )
     elif mode == "rescore":
         from ..functions import similarity as S
@@ -816,7 +865,8 @@ def compact(
             state["records"], cfg, cache_registry=rescore_cached
         )
         feats = P.build_features(
-            state["records"], pairs, cfg, cache_registry=rescore_cached
+            state["records"], pairs, cfg, cache_registry=rescore_cached,
+            corpus_stats=stats_tuple,
         )
         converged = (
             S.score_pairs(
@@ -845,7 +895,10 @@ def compact(
         # re-point, don't recompute
         clusters = cat.read(spark, f"clusters_epoch_{epochs[-1]}")
     cat.write(clusters, f"clusters_epoch_{cid}")
-    cat.commit("epoch", {"epochs": [cid], "n_compactions": gen})
+    new_meta = {"epochs": [cid], "n_compactions": gen}
+    if cstats:
+        new_meta["corpus_stats"] = cstats
+    cat.commit("epoch", new_meta)
     cat.write_alias("clusters", f"clusters_epoch_{cid}")
     return {"epoch": cid, "n_epochs_folded": len(epochs)}
 

@@ -37,14 +37,25 @@ def test_cc_random_graphs_match_union_find(spark):
         ]
         edges = [(u, v) for u, v in edges if u != v] or [(0, 2)]
         df = spark.createDataFrame(edges, "u long, v long")
-        got = {r.record_id: r.cluster_id for r in connected_components(df).collect()}
-        assert got == _uf_oracle(edges)
+        for thresh in (None, 100_000):  # distributed loop AND fast path
+            got = {
+                r.record_id: r.cluster_id
+                for r in connected_components(
+                    df, small_graph_threshold=thresh
+                ).collect()
+            }
+            assert got == _uf_oracle(edges)
 
 
 def test_cc_chain_converges_logarithmically(spark):
     chain = [(i, i + 1) for i in range(500)]
     df = spark.createDataFrame(chain, "u long, v long")
-    labels = connected_components(df, max_iter=12)  # would fail if O(diameter)
+    # small_graph_threshold=None forces the DISTRIBUTED star loop — the
+    # log-round convergence claim is about that loop, and the driver fast
+    # path would otherwise make this test vacuous
+    labels = connected_components(
+        df, max_iter=12, small_graph_threshold=None
+    )  # would fail if O(diameter)
     rows = labels.collect()
     assert len(rows) == 501
     assert {r.cluster_id for r in rows} == {0}
@@ -58,6 +69,32 @@ def test_attach_singletons(spark):
         for r in attach_singletons(labels, records).collect()
     }
     assert got == {0: 0, 1: 0, 9: 9}
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    """The driver union-find short-circuit must be row-for-row identical to
+    the star loop on adversarial shapes (long chain = worst case for
+    naive labeling; disconnected cliques; negative ids; duplicate and
+    reversed edges)."""
+    cases = [
+        [(i, i + 1) for i in range(200)],                      # chain
+        [(u, v) for u in range(5) for v in range(u + 1, 5)]    # clique
+        + [(u, v) for u in range(10, 14) for v in range(u + 1, 14)],
+        [(-3, 7), (7, -3), (7, 9), (-10, -3), (50, 60)],       # dup/reversed
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "u long, v long")
+        fast = {
+            r.record_id: r.cluster_id
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            r.record_id: r.cluster_id
+            for r in connected_components(
+                df, small_graph_threshold=None
+            ).collect()
+        }
+        assert fast == dist == _uf_oracle(edges)
 
 
 def test_cc_output_is_partition(spark):

@@ -117,7 +117,7 @@ End-to-end speedup at 4x cores: {e2e_speedup:.2f}x.
 
 | knob | value |
 |---|---|
-| spark.sql.shuffle.partitions | {os.cpu_count()} (cores) |
+| spark.sql.shuffle.partitions | {2 * os.cpu_count()} (2x cores; AQE-coalesced ceiling — measured 2.2x on the 33M-row cosine exchange, BENCH/features_anatomy_r7.json) |
 | spark.sql.autoBroadcastJoinThreshold | 64 MiB |
 | spark.sql.adaptive.enabled / skewJoin | true / true |
 | spark.sql.execution.arrow.maxRecordsPerBatch | 10000 |
