@@ -176,7 +176,12 @@ def _run_to_completion(run_id: str, out_root: str, n_pages: int, resume=False):
         pss, rss = _tree_mem_bytes(proc.pid)
         peak_pss = max(peak_pss, pss)
         peak_rss = max(peak_rss, rss)
-        time.sleep(0.5)
+        # 3s, not 0.5s: each smaps_rollup read of a ~100 GiB-mapped JVM
+        # walks page tables under the mmap lock — sub-second polling both
+        # burns a core and contends with the JVM's own mmap traffic. Peak
+        # detection at 3s granularity is ample for multi-minute stages,
+        # and the kernel's cgroup peak catches anything the sampler skips.
+        time.sleep(3)
     wall = time.perf_counter() - t0
     cg_peak = _cgroup_peak_read(cg)
     out = proc.stdout.read()
