@@ -41,7 +41,11 @@ DEFAULT_CONF: dict[str, str] = {
     # keep 32 cores fed through the join tails; with AQE coalescing ON the
     # value is a CEILING, so small queries pay nothing for the extra width.
     # Cluster guidance stays 2-3x total cores (README deployment notes).
-    "spark.sql.shuffle.partitions": str(2 * (os.cpu_count() or 8)),
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for A/B runs and deployments
+    # whose core count is not the right sizing signal.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * (os.cpu_count() or 8))
+    ),
     # explicit broadcast threshold (64 MiB): dimension tables / IDF maps /
     # hot-key sets are broadcast; candidate-pair fact tables never are.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
