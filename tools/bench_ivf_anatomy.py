@@ -47,7 +47,11 @@ CONFIGS = [  # (n_cells, n_probe) — r6 shipped 256/8
     (256, 8),
     (1024, 8),
     (1024, 16),
-    (4096, 16),
+    # (4096, 16) deliberately EXCLUDED: ivf_train's 256*n_cells sample
+    # bound reaches the full 1M corpus at 4096 cells, degrading the driver
+    # fit to full-corpus k-means — the r7 run aborted it at 30 minutes of
+    # index build (BENCH/ivf_anatomy_r7.json "aborted_config"). Re-add only
+    # with an explicit train_cap.
 ]
 
 
