@@ -170,10 +170,19 @@ def stateful_running_totals(events: DataFrame, key_col: str = "user_id") -> Data
     )
 
 
-def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession, cat, name: str, epochs: list, cache: dict | None = None
+) -> DataFrame | None:
     """Union of the committed per-epoch tables for one logical state table
     (records/blocks/edges). Plan width grows with len(epochs) — compact()
     folds the epoch list back to one table.
+
+    cache: long-running callers (the foreachBatch loop) pass a dict keyed
+    by (name, epoch) to memoize the per-epoch DataFrames — committed epoch
+    tables are IMMUTABLE (compaction writes new c<n> names, never rewrites
+    an epoch path), so re-reading their parquet footers and re-deriving
+    their schemas every micro-batch is pure driver overhead that grows
+    with the epoch list.
 
     Schema-version guard: block_key changed type string -> long when every
     blocker moved to 8-byte hash keys. Resuming over state committed by the
@@ -183,11 +192,16 @@ def _read_state(spark: SparkSession, cat, name: str, epochs: list) -> DataFrame 
     candidate pairs with no error."""
     from pyspark.sql.types import LongType
 
-    dfs = [
-        cat.read(spark, f"{name}_epoch_{e}")
-        for e in epochs
-        if cat.is_committed(f"{name}_epoch_{e}")
-    ]
+    def _rd(e):
+        key = (name, e)
+        if cache is not None and key in cache:
+            return cache[key]
+        df = cat.read(spark, f"{name}_epoch_{e}")
+        if cache is not None:
+            cache[key] = df
+        return df
+
+    dfs = [_rd(e) for e in epochs if cat.is_committed(f"{name}_epoch_{e}")]
     if not dfs:
         return None
     out = dfs[0]
@@ -463,6 +477,10 @@ def incremental_er(
 
     cfg = cfg or P.PipelineConfig()
     cat = Catalog(out_dir, run_id)
+    # per-epoch state tables are immutable once committed: memoize their
+    # DataFrames across micro-batches (footer/schema reads otherwise repeat
+    # per batch and grow with the epoch list)
+    state_cache: dict = {}
 
     def _epoch_meta() -> dict:
         return cat.committed_meta("epoch") or {"epochs": [], "n_compactions": 0}
@@ -483,7 +501,7 @@ def incremental_er(
             t_ph = t_batch
             meta = _epoch_meta()
             epochs = list(meta["epochs"])
-            prev_records = _read_state(spark, cat, "records", epochs)
+            prev_records = _read_state(spark, cat, "records", epochs, state_cache)
             new_records = P.build_records(batch_df, cfg)
             if prev_records is not None:
                 new_records = new_records.join(
@@ -519,7 +537,7 @@ def incremental_er(
                 new_records, "shingles", k=cfg.minhash_k, bands=cfg.bands
             ).persist()
             cached.append(new_blocks)
-            old_blocks = _read_state(spark, cat, "blocks", epochs)
+            old_blocks = _read_state(spark, cat, "blocks", epochs, state_cache)
             pairs = incremental_candidate_pairs(
                 new_blocks, old_blocks, cfg.salt_cap,
                 link_shards=cfg.link_shards,
