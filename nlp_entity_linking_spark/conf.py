@@ -49,6 +49,24 @@ DEFAULT_CONF: dict[str, str] = {
     # explicit broadcast threshold (64 MiB): dimension tables / IDF maps /
     # hot-key sets are broadcast; candidate-pair fact tables never are.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # join strategy (guide §3.1): allow shuffled-hash join when a build side
+    # fits per-partition instead of defaulting to sort-merge. The engine's
+    # dominant join — the sparse-cosine (id_b, token) equi-join — streams a
+    # ~pairs x tokens/record exploded probe side (~300M rows at 1M pages)
+    # against a build side of |weights|/partitions rows (~140k); sort-merge
+    # SORTS the 300M-row side, shuffled-hash does not (measured r8:
+    # features 74.6 -> 60.1s min-of-3, 3 SortMergeJoin -> 0 in the plan,
+    # plans/r08/features_{before,after}.txt). Skew safety is unchanged:
+    # AQE skew-join splitting handles shuffled-hash joins too, and every
+    # blocking-side hot key is salted before any join. The AQE threshold
+    # below additionally converts sort-merge to shuffled-hash at RUNTIME
+    # from actual partition sizes (128 MiB = 2x the advisory partition
+    # size, so any normally-coalesced partition qualifies) — estimates can
+    # miss, measured bytes don't.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        128 * 1024 * 1024
+    ),
     # AQE: runtime coalescing + skew-join splitting as the *second* line of
     # defense behind explicit hot-key salting (operators/blocking.py).
     "spark.sql.adaptive.enabled": "true",

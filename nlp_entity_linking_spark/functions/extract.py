@@ -137,6 +137,18 @@ def extract_page(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         )
 
 
+# Non-deterministic alias of extract_page for the records hot path. The
+# function IS deterministic (pure function of the html bytes — the engine's
+# byte-identity contract); the marker only forbids the OPTIMIZER to reorder
+# or duplicate the call. Without it, the records stage's surface filters
+# (which reference the UDF's output) get pushed below the projection and the
+# plan evaluates extract_page TWICE — two ArrowEvalPython nodes, every page
+# extracted and shipped through Arrow twice (guide §4.4; observed at 1M
+# pages in plans/r08/records_before.txt). Values are identical either way;
+# only the evaluation count changes (plan-shape test in test_records).
+extract_page_nd = extract_page.asNondeterministic()
+
+
 # ---------------------------------------------------------------------------
 # JVM extraction path (C1 fast path): the crawl payload NEVER crosses the
 # Python boundary — decode + strip run as codegen'd string expressions.

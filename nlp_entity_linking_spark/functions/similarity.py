@@ -84,19 +84,156 @@ def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, max_l: int = 4) -> float:
     return jaro + l * p * (1.0 - jaro)
 
 
-def _jw_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
-    out = np.empty(len(a), dtype=np.float64)
-    cache: dict[tuple, float] = {}
-    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    for i in range(len(out)):
-        key = (av[i], bv[i])
-        v = cache.get(key)
-        if v is None:
-            x, y = av[i] or "", bv[i] or ""
-            v = jaro_winkler_py(x, y)
-            cache[key] = v
-        out[i] = v
+# ---------------------------------------------------------------------------
+# Vectorized batch Jaro-Winkler — numpy bit-parallel twin of jaro_winkler_py
+# (guide §4.2: hand whole Arrow batches to vectorized native code instead of
+# looping rows in Python). Equality with the reference is EXACT (same IEEE
+# operations in the same association order), enforced bit-for-bit by
+# tests/test_similarity.py::test_jw_batch_matches_reference.
+# ---------------------------------------------------------------------------
+
+_JW_PAD_A = 0x110000  # > any Unicode code point; A/B pads differ so a pad
+_JW_PAD_B = 0x110001  # position can never equal anything, incl. the other pad
+
+
+def _jw_encode_block(strs: list, width: int, pad: int) -> np.ndarray:
+    """list[str] -> (B, max(width, 4)) uint32 code-point matrix, one
+    vectorized scatter from a single utf-32 decode of the joined strings
+    (min width 4 so the Winkler prefix compare never needs a bounds check).
+    """
+    n = len(strs)
+    out = np.full((n, max(width, 4)), pad, dtype=np.uint32)
+    joined = "".join(strs)
+    if joined:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(codes)) - np.repeat(starts, lens)
+        out[rows, cols] = codes
     return out
+
+
+def _jw_chunk(s1_list: list, s2_list: list) -> np.ndarray:
+    """Vectorized Jaro-Winkler over one chunk; requires len <= 63 on the
+    second side (match state is one uint64 bitmask per row). The greedy
+    window-matching loop runs once per s1 character POSITION over O(B)
+    bitmask words — not O(B x L2) boolean matrices — so per-pair cost stays
+    near the reference's while the constant factor drops to numpy's."""
+    B = len(s1_list)
+    n1 = np.fromiter((len(s) for s in s1_list), dtype=np.int64, count=B)
+    n2 = np.fromiter((len(s) for s in s2_list), dtype=np.int64, count=B)
+    L1 = int(n1.max()) if B else 0
+    L2 = int(n2.max()) if B else 0
+    A = _jw_encode_block(s1_list, L1, _JW_PAD_A)
+    Bc = _jw_encode_block(s2_list, L2, _JW_PAD_B)
+
+    # mask[r, i] = bitmask over j of (s2[r][j] == s1[r][i])
+    mask = np.zeros((B, max(L1, 1)), dtype=np.uint64)
+    for j in range(L2):
+        mask[:, :L1] |= (
+            A[:, :L1] == Bc[:, j : j + 1]
+        ).astype(np.uint64) << np.uint64(j)
+
+    window = np.maximum(np.maximum(n1, n2) // 2 - 1, 0)
+    one = np.uint64(1)
+    m2 = np.zeros(B, dtype=np.uint64)  # matched-position bitmask of s2
+    m1 = np.zeros((B, max(L1, 1)), dtype=bool)
+    matches = np.zeros(B, dtype=np.int64)
+    # [lo, hi) window bitmask per row, advanced incrementally with i
+    wmask = (one << np.minimum(n2, window + 1).astype(np.uint64)) - one
+    for i in range(L1):
+        if i > 0:
+            # shift amounts clamped to < 64: lanes where the shift would
+            # exceed the word are masked out by np.where, but the shift
+            # itself must still be defined for them
+            grow = (i + window) < n2  # hi grows by one until it hits n2
+            g_sh = np.minimum(i + window, 63).astype(np.uint64)
+            wmask = np.where(grow, wmask | (one << g_sh), wmask)
+            shrink = (i - window) > 0  # lo grows by one once past the window
+            s_sh = np.clip(i - window - 1, 0, 63).astype(np.uint64)
+            wmask = np.where(shrink, wmask & ~(one << s_sh), wmask)
+        avail = mask[:, i] & ~m2 & wmask
+        j_bit = avail & (~avail + one)  # lowest set bit = greedy first match
+        m2 |= j_bit
+        has = avail != 0
+        m1[:, i] = has
+        matches += has
+
+    mf = matches.astype(np.float64)
+    maxm = int(matches.max()) if B else 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if maxm > 0:
+            # matched chars of each side in order -> transposition count
+            j_idx = np.arange(max(L2, 1), dtype=np.uint64)[None, :]
+            m2b = ((m2[:, None] >> j_idx) & one).astype(bool)
+            mat1 = np.full((B, maxm), _JW_PAD_A, dtype=np.uint32)
+            mat2 = np.full((B, maxm), _JW_PAD_B, dtype=np.uint32)
+            p1 = np.cumsum(m1, axis=1) - 1
+            p2 = np.cumsum(m2b, axis=1) - 1
+            r_i, c_i = np.nonzero(m1)
+            mat1[r_i, p1[r_i, c_i]] = A[r_i, c_i]
+            r_i, c_i = np.nonzero(m2b)
+            mat2[r_i, p2[r_i, c_i]] = Bc[r_i, c_i]
+            k_idx = np.arange(maxm, dtype=np.int64)[None, :]
+            t = (
+                ((mat1 != mat2) & (k_idx < matches[:, None])).sum(axis=1) // 2
+            ).astype(np.float64)
+        else:
+            t = np.zeros(B, dtype=np.float64)
+        # same association order as the reference: bitwise-equal results
+        jaro = (mf / n1 + mf / n2 + (mf - t) / mf) / 3.0
+    eq4 = A[:, :4] == Bc[:, :4]
+    l = np.cumprod(eq4, axis=1).sum(axis=1).astype(np.float64)
+    boosted = jaro + l * 0.1 * (1.0 - jaro)
+    out = np.where(jaro < 0.7, jaro, boosted)
+    out = np.where(matches == 0, 0.0, out)
+    out = np.where((n1 == 0) | (n2 == 0), 0.0, out)
+    eq = np.fromiter(
+        (x == y for x, y in zip(s1_list, s2_list)), dtype=bool, count=B
+    )
+    return np.where(eq, 1.0, out)
+
+
+def _jw_batch(a: pd.Series, b: pd.Series, chunk: int = 16384) -> np.ndarray:
+    """pd.Series front-end for `_jw_batch_np` (kept for callers/tests that
+    hold pandas columns)."""
+    return _jw_batch_np(
+        a.to_numpy(dtype=object), b.to_numpy(dtype=object), chunk
+    )
+
+
+def _jw_batch_np(av: np.ndarray, bv: np.ndarray, chunk: int = 16384) -> np.ndarray:
+    """Batch Jaro-Winkler: dedup identical (a, b) pairs (candidate batches
+    repeat the same normalized surfaces heavily), then compute uniques in
+    length-sorted vectorized chunks; pairs with a side > 63 chars take the
+    reference row path (no uint64 bitmask)."""
+    n = len(av)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    a_str = np.array(["" if x is None else x for x in av], dtype=object)
+    b_str = np.array(["" if x is None else x for x in bv], dtype=object)
+    # injective key: len-prefix (NB: pandas str concat drops NUL bytes, so a
+    # separator char cannot be trusted to be unambiguous)
+    sa = pd.Series(a_str)
+    codes, _ = pd.factorize(sa.str.len().astype(str) + ":" + sa + pd.Series(b_str))
+    first_idx = np.unique(codes, return_index=True)[1]
+    ua, ub = a_str[first_idx], b_str[first_idx]
+    u = len(ua)
+    la = np.fromiter((len(s) for s in ua), dtype=np.int64, count=u)
+    lb = np.fromiter((len(s) for s in ub), dtype=np.int64, count=u)
+    lens = np.maximum(la, lb)
+    uo = np.empty(u, dtype=np.float64)
+    big = lens > 63
+    if big.any():
+        bi = np.nonzero(big)[0]
+        uo[bi] = [jaro_winkler_py(x, y) for x, y in zip(ua[bi], ub[bi])]
+    small = np.nonzero(~big)[0]
+    order = small[np.argsort(lens[small], kind="stable")]
+    for s in range(0, len(order), chunk):
+        idx = order[s : s + chunk]
+        uo[idx] = _jw_chunk(list(ua[idx]), list(ub[idx]))
+    return uo[codes]
 
 
 # ---------------------------------------------------------------------------
@@ -106,8 +243,24 @@ def _jw_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
 
 def token_set_lev(tokens_a: Column | str, tokens_b: Column | str) -> Column:
     """1 - lev(joined sorted-unique tokens)/max_len, in [0, 1]; JVM-only."""
-    a = F.concat_ws(" ", token_set(tokens_a))
-    b = F.concat_ws(" ", token_set(tokens_b))
+    return token_set_lev_str(
+        F.concat_ws(" ", token_set(tokens_a)),
+        F.concat_ws(" ", token_set(tokens_b)),
+    )
+
+
+def token_set_lev_str(ts_a: Column | str, ts_b: Column | str) -> Column:
+    """token_set_lev over ALREADY-JOINED sorted-unique token strings.
+
+    The pipeline computes the canonical token-set string once per RECORD
+    before the pair attach joins (build_features): the per-pair form above
+    re-sorts/dedups/joins each record's tokens once per pair it appears in
+    — a ~pairs/records-x repeat of identical array work — and ships the
+    token arrays through the attach exchanges. Same values bit-for-bit:
+    only the place the string is materialized moves.
+    """
+    a = F.col(ts_a) if isinstance(ts_a, str) else ts_a
+    b = F.col(ts_b) if isinstance(ts_b, str) else ts_b
     denom = F.greatest(F.length(a), F.length(b))
     return F.when(denom == 0, F.lit(1.0)).otherwise(
         1.0 - F.levenshtein(a, b) / denom
@@ -186,7 +339,19 @@ def pair_cosine(
     if broadcast_weights is None:
         # ~40 bytes/row; stay well under the 64 MiB broadcast threshold
         broadcast_weights = weights.count() < 1_500_000
-    wrap = F.broadcast if broadcast_weights else (lambda df: df)
+    # non-broadcast path: pin shuffled-hash with the weights as build side
+    # (guide §3.1). The planner can't see through a persisted weights frame
+    # (unknown stats -> sort-merge), but the build side is |weights| /
+    # shuffle-partitions rows per task — a few MB — while the PROBE side of
+    # the (id_b, token) join is the exploded pairs x tokens/record
+    # intermediate (~300M rows at 1M pages): sort-merge would sort it,
+    # shuffled-hash streams it unsorted (r8: the last SortMergeJoin in the
+    # features plan, plans/r08/features_after.txt).
+    wrap = (
+        F.broadcast
+        if broadcast_weights
+        else (lambda df: df.hint("shuffle_hash"))
+    )
     wa = wrap(
         weights.select(
             F.col("record_id").alias("id_a"), "token", F.col("w").alias("wa")
@@ -365,18 +530,39 @@ def score_pairs(
         pairs = pairs.repartition(n_partitions)
     w1, w2, w3 = model.weights
     b0 = model.bias
+    in_names = [f.name for f in pairs.schema.fields]
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in pairs.schema.fields)
     out_schema = f"{in_fields}, jw double, score double"
+    ia, ib = in_names.index(surface_a), in_names.index(surface_b)
+    it, ic = in_names.index("tsl"), in_names.index("cos")
+    out_names = in_names + ["jw", "score"]
 
-    def scorer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            jw = _jw_batch(pdf[surface_a], pdf[surface_b])
-            z = w1 * jw + w2 * pdf["tsl"].to_numpy() + w3 * pdf["cos"].to_numpy() + b0
-            pdf = pdf.assign(jw=jw, score=1.0 / (1.0 + np.exp(-z)))
-            yield pdf
+    def scorer(batches):
+        # mapInArrow, not mapInPandas (guide §4.1/§4.2): only the four
+        # columns the scorer READS are materialized into numpy; the
+        # passthrough columns (ids, block key, surfaces) are re-emitted as
+        # the ORIGINAL Arrow arrays with zero pandas round-trip. The old
+        # pandas form paid an object-string conversion of every column both
+        # ways — measured at 1M pages it was ~half the stage wall.
+        import pyarrow as pa
 
-    return pairs.mapInPandas(scorer, schema=out_schema)
+        for batch in batches:
+            a = batch.column(ia).to_numpy(zero_copy_only=False)
+            b = batch.column(ib).to_numpy(zero_copy_only=False)
+            jw = _jw_batch_np(a, b)
+            tsl = batch.column(it).to_numpy(zero_copy_only=False)
+            cos = batch.column(ic).to_numpy(zero_copy_only=False)
+            # identical numpy expression (and association order) as the
+            # previous pandas scorer: scores are bit-for-bit unchanged
+            z = w1 * jw + w2 * tsl + w3 * cos + b0
+            score = 1.0 / (1.0 + np.exp(-z))
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(jw), pa.array(score)],
+                names=out_names,
+            )
+
+    return pairs.mapInArrow(scorer, schema=out_schema)
 
 
 def may_reach_threshold(model: ScoreModel, threshold: float) -> Column:

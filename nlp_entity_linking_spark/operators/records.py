@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_page, extract_page_expr
+from ..functions.extract import extract_page_expr, extract_page_nd
 from ..functions.normalize import char_shingles, normalize, tokenize
 
 RECORD_COLS = (
@@ -99,7 +99,10 @@ def extract_records(
     column work."""
     if engine not in ("jvm", "python"):
         raise ValueError(f"unknown extraction engine: {engine!r}")
-    page_fn = extract_page_expr if engine == "jvm" else extract_page
+    # extract_page_nd: the non-deterministic-MARKED (but pure) Python UDF —
+    # keeps the optimizer from duplicating the extraction under the surface
+    # filters below (one ArrowEvalPython node, not two; guide §4.4)
+    page_fn = extract_page_expr if engine == "jvm" else extract_page_nd
     if extract_first:
         df = pages.select(
             "url",

@@ -12,6 +12,7 @@ lineage, resume) around each stage.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,27 +153,76 @@ def build_features(
     cosed = S.pair_cosine(
         pairs.select("id_a", "id_b", "block_key"),
         weights,
-        broadcast_weights=(tok or 0) < 1_500_000,
+        broadcast_weights=(tok or 0) < weights_broadcast_max(),
     )
-    thin = records.select("record_id", "norm", "tokens")
+    # per-record token-set string computed ONCE per record BEFORE the attach
+    # joins (guide §2.3 "project before the exchange"): the old per-pair
+    # token_set_lev re-sorted/deduped each record's token array once per
+    # pair it appeared in (~pairs/records x duplicate work at 33M pairs /
+    # 1M records) and shipped the token ARRAYS through both attach
+    # exchanges; the joined string is smaller and the tsl expression over
+    # it is bit-identical (token_set_lev == token_set_lev_str by
+    # construction).
+    from ..functions.normalize import token_set
+
+    thin = records.select(
+        "record_id",
+        "norm",
+        F.concat_ws(" ", token_set("tokens")).alias("_ts"),
+    )
     a = thin.select(
         F.col("record_id").alias("id_a"),
         F.col("norm").alias("norm_a"),
-        F.col("tokens").alias("tokens_a"),
+        F.col("_ts").alias("_ts_a"),
     )
     b = thin.select(
         F.col("record_id").alias("id_b"),
         F.col("norm").alias("norm_b"),
-        F.col("tokens").alias("tokens_b"),
+        F.col("_ts").alias("_ts_b"),
+    )
+    # attach strategy from the SAME pre-counted statistic that sizes the
+    # weights broadcast (north rule: broadcast thresholds tuned from real
+    # stats, never defaulted): under the cap the thin (id, norm, ts) record
+    # table is broadcast and the 33M-pair fact table crosses ZERO attach
+    # exchanges (was: two full exchanges + sorts of the fat pair rows, one
+    # per side); above it the joins shuffle — the 10^12-row path.
+    wrap = (
+        F.broadcast if n_docs <= attach_broadcast_max_records() else (lambda d: d)
     )
     feat = (
-        cosed.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("tsl", S.token_set_lev("tokens_a", "tokens_b"))
+        cosed.join(wrap(a), "id_a")
+        .join(wrap(b), "id_b")
+        .withColumn("tsl", S.token_set_lev_str("_ts_a", "_ts_b"))
     )
     return feat.select(
         "id_a", "id_b", "block_key", "norm_a", "norm_b", "tsl", "cos"
     )
+
+
+def weights_broadcast_max() -> int:
+    """tok-count cap for broadcasting the TF-IDF weight table in
+    build_features (tok = total ctx-token instances, an upper bound on
+    weight rows — the stat the stage already aggregates).
+
+    Default keeps the long-standing 1.5M bound. Raising it to cover the 1M-
+    page corpus (tok ~9M) was A/B-measured in r8 and LOST: broadcast mins
+    42.2/52.4/60.3s vs shuffled-hash mins 35.3/35.8/36.4s (interleaved
+    runs, same staged inputs, OPTIMIZATION_r08.md). Two ~9M-entry broadcast
+    hash relations are built serially on the driver per run and probed with
+    poor cache locality by the ~300M-row exploded side, while the
+    shuffled-hash path builds 64 L2-resident ~140k-entry maps in parallel.
+    Kept as an env knob (SPARK_GRAFT_WEIGHTS_BROADCAST_MAX) for corpora
+    whose weight tables are genuinely tiny relative to pair volume."""
+    return int(os.environ.get("SPARK_GRAFT_WEIGHTS_BROADCAST_MAX", "1500000"))
+
+
+def attach_broadcast_max_records() -> int:
+    """Record-count cap for broadcasting the thin attach side of
+    build_features. ~60 B/row framed (8-byte id + two short strings), so the
+    2M default is ~120 MiB built — comfortable beside a 96 GiB local driver
+    and a few-GiB cluster executor alike; deployments with tiny executors
+    override via SPARK_GRAFT_ATTACH_BROADCAST_MAX (0 disables)."""
+    return int(os.environ.get("SPARK_GRAFT_ATTACH_BROADCAST_MAX", "2000000"))
 
 
 # IRLS needs thousands of labeled pairs, not millions: cap the driver-side

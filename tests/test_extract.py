@@ -119,3 +119,17 @@ def test_extract_engines_in_pipeline_agree(spark):
     a = extract_records(pages, engine="jvm")
     b = extract_records(pages, engine="python")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_extract_udf_evaluated_once_in_records_plan(spark):
+    """The records plan must contain exactly ONE ArrowEvalPython node: the
+    surface filters reference the UDF's output, and without the
+    non-deterministic marker on extract_page_nd the optimizer pushes them
+    below the projection and DUPLICATES the extraction — every page shipped
+    through Arrow and regex-stripped twice (guide §4.4; r8 optimization)."""
+    from nlp_entity_linking_spark.operators.records import extract_records
+    from nlp_entity_linking_spark.sources.synthetic import gen_pages
+
+    pages, _ = gen_pages(spark, 50)
+    plan = extract_records(pages, engine="python")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan

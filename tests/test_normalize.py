@@ -103,3 +103,37 @@ def test_normalize_properties_random_corpus(spark):
         | ~F.col("tsl_range")
     ).count()
     assert bad == 0
+
+
+def test_normalize_split_form_equals_regex_form(spark):
+    """r8: normalize() is implemented as split-on-separator-runs + rejoin
+    (18x faster than RegExpReplace); it must stay VALUE-identical to the
+    spec's literal two-pass regexp_replace form (the DuckDB oracle mirror)
+    on every input shape — unicode, empties, pure-separator strings,
+    leading/trailing/multiple separators."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nlp_entity_linking_spark.functions.normalize import fold_diacritics
+
+    def spec_form(c):
+        c = F.lower(fold_diacritics(c))
+        c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+        c = F.regexp_replace(c, " +", " ")
+        return F.trim(c)
+
+    rng = random.Random(11)
+    alphabet = "aB9 é-_.!\t\n ß漢🙂"
+    rows = ["", " ", "!!", "  a  ", "a-b_c", "É é", "\x00nul\x00"]
+    rows += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(s,) for s in rows], "s string")
+    bad = df.select(
+        normalize("s").alias("new"), spec_form(F.col("s")).alias("old")
+    ).filter(
+        F.col("new") != F.col("old")
+    ).count()
+    assert bad == 0

@@ -55,7 +55,7 @@ def test_end_to_end_f1(spark):
     )
     assert cfg2.model.weights[0] == 0.0
     scored2 = S.score_pairs(features, cfg2.model).persist()
-    assert "MapInPandas" not in (
+    assert "MapIn" not in (  # neither Pandas nor Arrow
         scored2._jdf.queryExecution().executedPlan().toString()
     )
     scored2.count()
@@ -233,7 +233,7 @@ def test_calibrate_drops_nonpositive_jw(spark):
     assert dropped.model.weights[0] == 0.0
     assert dropped.model.version == "fitted-tsl+cos-v1"
     scored = S.score_pairs(feats, dropped.model)
-    assert "MapInPandas" not in (
+    assert "MapIn" not in (  # neither Pandas nor Arrow
         scored._jdf.queryExecution().executedPlan().toString()
     )
     verdicts = scored.join(labeled, ["id_a", "id_b"]).select(

@@ -34,6 +34,42 @@ def test_jaro_winkler_properties():
         assert S.jaro_winkler_py(a, a) == 1.0 or a == ""
 
 
+def test_jw_batch_matches_reference():
+    """The vectorized bit-parallel _jw_batch must be BIT-identical to the
+    per-row reference (same IEEE ops, same association order) — including
+    empty/equal/short strings, unicode past the BMP, dedup-colliding pairs,
+    and the >63-char row-path fallback."""
+    rng = random.Random(7)
+    alphabet = "abcdefg "
+    cases = [
+        ("", ""), ("a", ""), ("", "a"), ("ab", "ab"), ("a", "b"),
+        ("f", "f"), ("ff", ""), (None, "x"), (None, None),
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("café \U0001f600", "cafe \U0001f600"),
+    ]
+    for _ in range(100):  # >63-char fallback path
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(60, 90)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 90)))
+        cases.append((a, b))
+    for _ in range(5000):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        if rng.random() < 0.2:
+            b = a
+        cases.append((a, b))
+    a_s = pd.Series([c[0] for c in cases], dtype=object)
+    b_s = pd.Series([c[1] for c in cases], dtype=object)
+    got = S._jw_batch(a_s, b_s, chunk=1024)
+    ref = np.array(
+        [S.jaro_winkler_py(a or "", b or "") for a, b in cases],
+        dtype=np.float64,
+    )
+    mismatch = np.nonzero(ref != got)[0]
+    assert len(mismatch) == 0, [
+        (cases[i], ref[i], got[i]) for i in mismatch[:5]
+    ]
+
+
 def test_token_set_lev(spark):
     df = spark.createDataFrame(
         [("acme corp ltd", "ltd corp acme"), ("abc", "xyz"), ("", "")],
@@ -142,7 +178,7 @@ def test_fit_calibration_feature_subset():
 
 
 def test_score_pairs_jvm_fast_path(spark):
-    """A w1==0 model must never cross into Python: no MapInPandas in the
+    """A w1==0 model must never cross into Python: no MapIn* node in the
     physical plan, jw comes back NULL, and the score is the JVM sigmoid of
     (w2*tsl + w3*cos + b). A w1!=0 model (positive control) does plan the
     Arrow pass."""
@@ -156,7 +192,7 @@ def test_score_pairs_jvm_fast_path(spark):
     model = S.ScoreModel(weights=(0.0, 4.7, 15.7), bias=-11.0, version="jvm")
     out = S.score_pairs(df, model)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan
+    assert "MapIn" not in plan  # neither Pandas nor Arrow
     got = out.orderBy("id_a").collect()
     assert [r.jw for r in got] == [None, None]
     for r in got:
@@ -173,7 +209,7 @@ def test_score_pairs_jvm_fast_path(spark):
         .executedPlan()
         .toString()
     )
-    assert "MapInPandas" in arrow_plan
+    assert "MapInArrow" in arrow_plan  # r8: scorer is mapInArrow
 
 
 def test_score_pairs_fused(spark):
