@@ -34,17 +34,20 @@ DEFAULT_CONF: dict[str, str] = {
     # (native <-> JVM) path — first jobs run 3-5x slow until the heap grows.
     "spark.driver.extraJavaOptions": "-Xms32g -XX:+UseG1GC",
     "spark.driver.maxResultSize": "4g",
-    # shuffle width: 2x cores, not 1x — measured on the engine's dominant
-    # exchange (the 33M-row (id,token) sparse-cosine join at 1M pages):
-    # 32 partitions -> 110s, 64 -> 50s, 256 -> 48s min-of-2
-    # (BENCH/features_anatomy_r7.json). 1M rows/partition is too coarse to
-    # keep 32 cores fed through the join tails; with AQE coalescing ON the
-    # value is a CEILING, so small queries pay nothing for the extra width.
-    # Cluster guidance stays 2-3x total cores (README deployment notes).
-    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for A/B runs and deployments
-    # whose core count is not the right sizing signal.
+    # shuffle width: 1x cores (r8, reverting r7's 2x). r7 widened to 64
+    # because the sort-merge cosine join starved at 32 (110s vs 50s at 1M
+    # pages) — but the 64 default cost the OFFICIAL sf0.1 bench 68%
+    # round-over-round (BENCH_r07 rebench vs r06; er_blocking_pairs 2.7x).
+    # r8 moved the big joins to shuffled-hash (no probe-side sorts), after
+    # which width 64 no longer helps the features stage (33.6s vs 35.4s at
+    # 32, min-of-3, tools/bench_features_ab.py) while blocking clearly
+    # prefers 32 (14.0s vs 16.6s min-of-3) and small scale factors stop
+    # paying the wide-exchange tax. AQE coalescing still treats this as a
+    # ceiling. Cluster guidance: 1-2x total cores (README deployment
+    # notes); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for A/B runs and
+    # deployments whose core count is not the right sizing signal.
     "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * (os.cpu_count() or 8))
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(os.cpu_count() or 8)
     ),
     # explicit broadcast threshold (64 MiB): dimension tables / IDF maps /
     # hot-key sets are broadcast; candidate-pair fact tables never are.
@@ -123,14 +126,19 @@ def get_spark(
 
 
 def _parse_mem_bytes(s: str) -> int | None:
-    """'96g' / '512m' / '1t' / plain bytes -> bytes; None if unparseable."""
+    """'96g' / '512m' / '1t' -> bytes; None if unparseable.
+
+    Suffix-less values default to MiB — matching Spark's readSizeAsMb
+    semantics for spark.driver.memory ('4096' means 4096 MiB, not bytes).
+    The old bytes default made check_driver_heap silently fail open for
+    that spelling (4096 'bytes' fell under the toy threshold)."""
     s = s.strip().lower()
     if not s:
         return None
     units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
     mult = units.get(s[-1])
     digits = s[:-1] if mult else s
-    mult = mult or 1
+    mult = mult or 2**20
     try:
         return int(float(digits) * mult)
     except ValueError:

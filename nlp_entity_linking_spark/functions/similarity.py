@@ -203,11 +203,27 @@ def _jw_batch(a: pd.Series, b: pd.Series, chunk: int = 16384) -> np.ndarray:
     )
 
 
-def _jw_batch_np(av: np.ndarray, bv: np.ndarray, chunk: int = 16384) -> np.ndarray:
+# cross-batch memo bound: ~100 B/entry -> ~200 MB/worker worst case; a
+# task whose distinct-pair stream exceeds it just loses memo hits.
+_JW_MEMO_MAX = 2_000_000
+
+
+def _jw_batch_np(
+    av: np.ndarray,
+    bv: np.ndarray,
+    chunk: int = 16384,
+    memo: dict | None = None,
+) -> np.ndarray:
     """Batch Jaro-Winkler: dedup identical (a, b) pairs (candidate batches
     repeat the same normalized surfaces heavily), then compute uniques in
     length-sorted vectorized chunks; pairs with a side > 63 chars take the
-    reference row path (no uint64 bitmask)."""
+    reference row path (no uint64 bitmask).
+
+    memo: optional per-TASK dict carried across Arrow batches by the
+    scorer (guide §4.5 — amortize over every batch in the partition):
+    looked up once per unique key (a few thousand dict ops per batch, not
+    per row), so repeated surfaces across a task's ~50 batches skip the
+    numpy pass entirely."""
     n = len(av)
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -216,23 +232,48 @@ def _jw_batch_np(av: np.ndarray, bv: np.ndarray, chunk: int = 16384) -> np.ndarr
     # injective key: len-prefix (NB: pandas str concat drops NUL bytes, so a
     # separator char cannot be trusted to be unambiguous)
     sa = pd.Series(a_str)
-    codes, _ = pd.factorize(sa.str.len().astype(str) + ":" + sa + pd.Series(b_str))
+    keys = (sa.str.len().astype(str) + ":" + sa + pd.Series(b_str)).to_numpy(
+        dtype=object
+    )
+    codes, _ = pd.factorize(keys)
     first_idx = np.unique(codes, return_index=True)[1]
     ua, ub = a_str[first_idx], b_str[first_idx]
     u = len(ua)
-    la = np.fromiter((len(s) for s in ua), dtype=np.int64, count=u)
-    lb = np.fromiter((len(s) for s in ub), dtype=np.int64, count=u)
-    lens = np.maximum(la, lb)
     uo = np.empty(u, dtype=np.float64)
-    big = lens > 63
-    if big.any():
-        bi = np.nonzero(big)[0]
-        uo[bi] = [jaro_winkler_py(x, y) for x, y in zip(ua[bi], ub[bi])]
-    small = np.nonzero(~big)[0]
-    order = small[np.argsort(lens[small], kind="stable")]
-    for s in range(0, len(order), chunk):
-        idx = order[s : s + chunk]
-        uo[idx] = _jw_chunk(list(ua[idx]), list(ub[idx]))
+    todo = np.arange(u)
+    if memo is not None:
+        ukeys = keys[first_idx]
+        hits = []
+        misses = []
+        for i in range(u):
+            v = memo.get(ukeys[i])
+            if v is None:
+                misses.append(i)
+            else:
+                uo[i] = v
+                hits.append(i)
+        todo = np.asarray(misses, dtype=np.int64)
+    if len(todo):
+        ta, tb = ua[todo], ub[todo]
+        la = np.fromiter((len(s) for s in ta), dtype=np.int64, count=len(todo))
+        lb = np.fromiter((len(s) for s in tb), dtype=np.int64, count=len(todo))
+        lens = np.maximum(la, lb)
+        big = lens > 63
+        if big.any():
+            bi = np.nonzero(big)[0]
+            uo[todo[bi]] = [
+                jaro_winkler_py(x, y) for x, y in zip(ta[bi], tb[bi])
+            ]
+        small = np.nonzero(~big)[0]
+        order = small[np.argsort(lens[small], kind="stable")]
+        for s in range(0, len(order), chunk):
+            idx = order[s : s + chunk]
+            uo[todo[idx]] = _jw_chunk(list(ta[idx]), list(tb[idx]))
+        if memo is not None:
+            if len(memo) > _JW_MEMO_MAX:
+                memo.clear()
+            for i in todo:
+                memo[ukeys[i]] = uo[i]
     return uo[codes]
 
 
@@ -547,10 +588,11 @@ def score_pairs(
         # ways — measured at 1M pages it was ~half the stage wall.
         import pyarrow as pa
 
+        memo: dict = {}  # per-task, carried across this partition's batches
         for batch in batches:
             a = batch.column(ia).to_numpy(zero_copy_only=False)
             b = batch.column(ib).to_numpy(zero_copy_only=False)
-            jw = _jw_batch_np(a, b)
+            jw = _jw_batch_np(a, b, memo=memo)
             tsl = batch.column(it).to_numpy(zero_copy_only=False)
             cos = batch.column(ic).to_numpy(zero_copy_only=False)
             # identical numpy expression (and association order) as the

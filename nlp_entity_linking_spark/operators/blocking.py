@@ -268,47 +268,35 @@ def pairs_from_blocks(
     pair with the (deterministic min) shared block key.
 
     Shuffle anatomy: one hash exchange on block_key for the self-join (AQE
-    splits residual skew), then one exchange on (id_a, id_b) for the dedup.
-    Pass dedup=False when the caller merges multiple blockers and dedups
-    once (merge_pairs) — saves a full (id_a, id_b) shuffle.
+    splits residual skew; block sizes are salt-capped upstream), then one
+    exchange on (id_a, id_b) for the dedup. Pass dedup=False when the
+    caller merges multiple blockers and dedups once (merge_pairs) — saves
+    a full (id_a, id_b) shuffle.
+
+    r8: a plain equi self-join + id_a < id_b filter, replacing the
+    collect_list + nested-transform pair expansion — identical pair set
+    (same (min, max) orientation, same block_key), but the expansion runs
+    in whole-stage codegen instead of an ObjectHashAggregate building
+    per-block arrays and interpreted HOF lambdas slicing them (measured
+    4.0s -> 1.26s min-of-3 on the 8M salted block rows -> 54M raw pairs
+    at 1M pages; OPTIMIZATION_r08.md). Size-1 blocks need no pruning pass:
+    they emit nothing through the < filter.
     """
     b = blocks.select("block_key", "record_id")
-    # prune size-1 blocks before the join: they produce nothing but still
-    # shuffle. (cheap pre-agg, map-side combined)
-    sized = b.groupBy("block_key").agg(
-        F.collect_list("record_id").alias("_ids"), F.count("*").alias("_n")
-    )
-    # collect_list per block is bounded by the salt cap -> array stays small;
-    # generating pairs from the array avoids a second shuffled self-join.
+    a = b.select("block_key", F.col("record_id").alias("id_a"))
+    c = b.select("block_key", F.col("record_id").alias("id_b"))
     pairs = (
-        sized.filter(F.col("_n") >= min_block)
-        .select(
-            F.col("block_key"),
-            F.explode(_pairs_of_array(F.array_sort("_ids"))).alias("p"),
-        )
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("block_key"),
-        )
+        a.join(c, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "block_key")
     )
+    if min_block > 2:
+        sized = b.groupBy("block_key").agg(F.count("*").alias("_n"))
+        keep = sized.filter(F.col("_n") >= min_block).select("block_key")
+        pairs = pairs.join(keep, "block_key", "left_semi")
     if not dedup:
         return pairs
     return pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
-
-
-def _pairs_of_array(ids):
-    """array<long> (sorted) -> array<struct<id_a,id_b>> of all C(n,2) pairs,
-    built with flatten/transform — stays in codegen."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
 
 
 def snb_global_rank(

@@ -501,6 +501,14 @@ def incremental_er(
             t_ph = t_batch
             meta = _epoch_meta()
             epochs = list(meta["epochs"])
+            # evict memoized per-epoch frames whose epoch was folded away by
+            # compaction: without this, a long-lived stream with periodic
+            # compaction accumulates stale DataFrame plan objects on the
+            # driver forever (slow leak in exactly the long-running scenario
+            # the memoization targets)
+            live = set(epochs)
+            for key in [k for k in state_cache if k[1] not in live]:
+                del state_cache[key]
             prev_records = _read_state(spark, cat, "records", epochs, state_cache)
             new_records = P.build_records(batch_df, cfg)
             if prev_records is not None:

@@ -18,7 +18,11 @@ def test_parse_mem_bytes():
     assert C._parse_mem_bytes("96g") == 96 * GIB
     assert C._parse_mem_bytes("512m") == 512 * 2**20
     assert C._parse_mem_bytes("1t") == 2**40
-    assert C._parse_mem_bytes("2048") == 2048
+    # suffix-less = MiB, matching Spark's readSizeAsMb for driver.memory:
+    # '4096' (4 GiB intent) must NOT parse as 4096 bytes, which made
+    # check_driver_heap fail open for that spelling
+    assert C._parse_mem_bytes("2048") == 2048 * 2**20
+    assert C._parse_mem_bytes("4096") == 4 * GIB
     assert C._parse_mem_bytes("1.5g") == int(1.5 * GIB)
     assert C._parse_mem_bytes("") is None
     assert C._parse_mem_bytes("lots") is None

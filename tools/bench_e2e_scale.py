@@ -89,6 +89,10 @@ def _tree_mem_bytes(sid: int) -> tuple[int, int]:
 # (reclaimable), so it brackets the PSS number from above; usage is
 # container-wide, so run benches on a quiet host.
 def _cgroup_mem_dir() -> str | None:
+    """v1: /sys/fs/cgroup/memory<path> with memory.max_usage_in_bytes;
+    v2 (unified hierarchy, '0::<path>' line): /sys/fs/cgroup<path> with
+    memory.peak. Without the v2 fallback the kernel-peak leg of the memory
+    certification silently reported null on modern hosts."""
     try:
         with open("/proc/self/cgroup") as f:
             for line in f:
@@ -97,15 +101,27 @@ def _cgroup_mem_dir() -> str | None:
                     d = f"/sys/fs/cgroup/memory{parts[2]}"
                     if os.path.exists(os.path.join(d, "memory.max_usage_in_bytes")):
                         return d
+                if len(parts) == 3 and parts[0] == "0" and parts[1] == "":
+                    d = f"/sys/fs/cgroup{parts[2]}"
+                    if os.path.exists(os.path.join(d, "memory.peak")):
+                        return d
     except OSError:
         pass
     return None
 
 
+def _cgroup_peak_file(d: str) -> str:
+    v1 = os.path.join(d, "memory.max_usage_in_bytes")
+    return v1 if os.path.exists(v1) else os.path.join(d, "memory.peak")
+
+
 def _cgroup_peak_reset(d: str | None) -> None:
+    # v2's memory.peak is not resettable (write -> EINVAL, swallowed):
+    # callers record a BASELINE read before the run and report the delta-
+    # aware pair (see artifact fields) instead of a reset-then-read.
     if d:
         try:
-            with open(os.path.join(d, "memory.max_usage_in_bytes"), "w") as f:
+            with open(_cgroup_peak_file(d), "w") as f:
                 f.write("0")
         except OSError:
             pass
@@ -115,7 +131,7 @@ def _cgroup_peak_read(d: str | None) -> int | None:
     if not d:
         return None
     try:
-        with open(os.path.join(d, "memory.max_usage_in_bytes")) as f:
+        with open(_cgroup_peak_file(d)) as f:
             return int(f.read())
     except OSError:
         return None
