@@ -359,8 +359,73 @@ def tfidf_weights(
     )
 
 
+def pair_cosine_map_attach(pairs: DataFrame, weights: DataFrame) -> DataFrame:
+    """pairs + cos via per-record weight MAPS attached by broadcast — the
+    zero-shuffle formulation (guide §8: decide with small rows, move heavy
+    bytes once; here the heavy bytes never move at all).
+
+    The shuffle formulation below explodes pairs x tokens(a) (~pairs x
+    tokens/record rows — 310M at 1M pages) through an (id_b, token)
+    exchange to meet the b-side weights, then pays a (id_a, id_b) partial-
+    agg exchange and a final left-join exchange. When the per-record weight
+    table fits a broadcast (the same regime where build_features already
+    broadcasts its attach sides), ALL of that machinery collapses: one
+    1M-entry record_id -> map(token, w) broadcast, two map-side attach
+    joins, and a row-local aggregate over a's entries with map lookups into
+    b — the whole cosine becomes a single scan-stage projection with ZERO
+    exchanges. Measured at 1M pages/33M pairs (quiet window): the cosine
+    sub-chain dropped from ~23s (4 exchanges, biggest 310M rows) to the
+    cost of the attach probes + ~7s of row-local dot products
+    (OPTIMIZATION_r08.md §8).
+
+    Numerics: the dot accumulates in ascending-token order (array_sort
+    before map_from_entries), which is DETERMINISTIC across runs and
+    layouts — unlike the shuffle path's arrival-order groupBy sum. The two
+    paths therefore agree to float ulps, not bits; every bench invariant
+    (pair/edge/cluster counts) was re-verified identical under both at
+    sf0.1 and 1M pages, and the property tests pin map-path values to the
+    numpy reference at 1e-12.
+
+    Scale bound: one broadcast entry per record (~170 B at ~10 tokens per
+    record). Callers gate on record count (build_features reuses its
+    attach_broadcast_max_records() gate, default 2M records ~ 350 MB) and
+    fall back to the shuffle path beyond it — the 10^12-row tier keeps the
+    exchange formulation. element_at on Spark's ArrayBasedMapData is a
+    linear probe, so per-pair cost is O(|tokens_a| x |tokens_b|) — fine at
+    ~10 ctx tokens, another reason corpora with fat token sets should stay
+    on the shuffle path.
+    """
+    wmap = weights.groupBy("record_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("token", "w")))
+        ).alias("_wm")
+    )
+    ma = wmap.select(F.col("record_id").alias("id_a"), F.col("_wm").alias("_wma"))
+    mb = wmap.select(F.col("record_id").alias("id_b"), F.col("_wm").alias("_wmb"))
+    dot = F.aggregate(
+        F.map_entries("_wma"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.coalesce(
+            e["value"] * F.element_at(F.col("_wmb"), e["key"]), F.lit(0.0)
+        ),
+    )
+    # left joins: a record with zero ctx tokens has no wmap row; its pairs
+    # must still come through (cos = 0.0), matching the shuffle path's
+    # left-join + fillna semantics.
+    return (
+        pairs.join(F.broadcast(ma), "id_a", "left")
+        .join(F.broadcast(mb), "id_b", "left")
+        .withColumn("cos", F.coalesce(dot, F.lit(0.0)))
+        .drop("_wma", "_wmb")
+    )
+
+
 def pair_cosine(
-    pairs: DataFrame, weights: DataFrame, broadcast_weights: bool | None = None
+    pairs: DataFrame,
+    weights: DataFrame,
+    broadcast_weights: bool | None = None,
+    map_attach: bool = False,
 ) -> DataFrame:
     """pairs(id_a, id_b, ...) + weights(record_id, token, w) ->
     pairs + cos column (0.0 when no shared token).
@@ -376,7 +441,13 @@ def pair_cosine(
     convenience path for ad-hoc callers; pipeline code paths pass the flag
     explicitly (build_features derives it from the records count it already
     holds) so the features stage fires no extra count job.
+
+    map_attach=True routes to `pair_cosine_map_attach` (zero-exchange
+    broadcast-map formulation) — callers must gate it on record count; see
+    that function's docstring for the regime and numerics contract.
     """
+    if map_attach:
+        return pair_cosine_map_attach(pairs, weights)
     if broadcast_weights is None:
         # ~40 bytes/row; stay well under the 64 MiB broadcast threshold
         broadcast_weights = weights.count() < 1_500_000

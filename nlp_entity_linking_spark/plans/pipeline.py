@@ -147,13 +147,31 @@ def build_features(
             F.count("*").alias("n"), F.sum(F.size("ctx_tokens")).alias("tok")
         ).collect()[0]
         n_docs, tok = stats["n"], stats["tok"]
-    weights = S.tfidf_weights(records, "ctx_tokens", n_docs=n_docs).persist()
-    if cache_registry is not None:
-        cache_registry.append(weights)
+    # cosine strategy from the SAME pre-counted statistics (north rule:
+    # thresholds tuned from real stats): under the attach-broadcast record
+    # cap the per-record weight maps fit a broadcast and the whole cosine
+    # runs map-side with ZERO exchanges (S.pair_cosine_map_attach — the
+    # r8 formulation that collapsed the 310M-row (id_b, token) exchange,
+    # the partial-agg exchange and the dots left-join at 1M pages); above
+    # the cap the join formulation shuffles — the 10^12-row path. The
+    # weights frame is persisted only on the shuffle path (it feeds three
+    # subplans there). On the map path the two wmap broadcasts (ma/mb
+    # differ by alias, so exchange reuse cannot dedupe them) each recompute
+    # the TF-IDF lineage — A/B-measured CHEAPER than persisting it (22.2s
+    # vs 26.6s min-of-4 at 1M pages): the duplicate builds run in parallel
+    # inside the two broadcast jobs, while a persist serializes one 9.4M-row
+    # cache materialization before either can start.
+    map_side = n_docs <= attach_broadcast_max_records()
+    weights = S.tfidf_weights(records, "ctx_tokens", n_docs=n_docs)
+    if not map_side:
+        weights = weights.persist()
+        if cache_registry is not None:
+            cache_registry.append(weights)
     cosed = S.pair_cosine(
         pairs.select("id_a", "id_b", "block_key"),
         weights,
         broadcast_weights=(tok or 0) < weights_broadcast_max(),
+        map_attach=map_side,
     )
     # per-record token-set string computed ONCE per record BEFORE the attach
     # joins (guide §2.3 "project before the exchange"): the old per-pair

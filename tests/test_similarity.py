@@ -116,6 +116,52 @@ def test_tfidf_pair_cosine_matches_numpy(spark):
     assert got[(1, 2)] > got[(1, 3)] > got[(1, 4)] == 0.0
 
 
+def test_pair_cosine_map_attach_equals_shuffle_path(spark):
+    """The zero-exchange broadcast-map cosine (r8) must agree with the join
+    formulation to float ulps on every pair — including pairs whose records
+    have NO weight rows (empty token sets), which exercise the left-join +
+    coalesce(0.0) semantics on both paths."""
+    records = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, ["a", "b", "c"]),
+            (3, ["a", "x", "y"]),
+            (4, ["q", "r", "s"]),
+            (5, []),  # no weight rows: cos must be exactly 0.0 with anyone
+            (6, ["a"]),
+        ],
+        "record_id long, tokens array<string>",
+    )
+    weights = S.tfidf_weights(records, "tokens")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (3, 6)],
+        "id_a long, id_b long",
+    ).withColumn("block_key", F.lit(7).cast("long"))
+    old = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.pair_cosine(
+            pairs, weights, broadcast_weights=False
+        ).collect()
+    }
+    new = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.pair_cosine(pairs, weights, map_attach=True).collect()
+    }
+    assert set(old) == set(new) == {
+        (1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (3, 6)
+    }
+    for k in old:
+        assert abs(old[k] - new[k]) < 1e-12, (k, old[k], new[k])
+    assert new[(1, 5)] == 0.0 and new[(5, 6)] == 0.0  # empty-token records
+    assert new[(1, 4)] == 0.0  # disjoint token sets
+    assert new[(3, 6)] > 0.0  # shared "a"
+    # passthrough columns survive the map path
+    cols = S.pair_cosine(pairs, weights, map_attach=True).columns
+    assert cols == ["id_b", "id_a", "block_key", "cos"] or set(cols) == {
+        "id_a", "id_b", "block_key", "cos"
+    }
+
+
 def test_fit_calibration_separates():
     rng = np.random.RandomState(42)
     n = 400
